@@ -1,0 +1,163 @@
+"""Tests for config / checkpoint / indexed-dataset / mesh core runtime."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geneface_tpu.config import Config, load_config, parse_overrides, save_config
+from geneface_tpu.parallel import make_mesh, shard_batch
+from geneface_tpu.utils import (
+    CheckpointManager,
+    IndexedDataset,
+    IndexedDatasetBuilder,
+    restore_partial,
+)
+
+
+# ---------------------------------------------------------------- config ----
+def test_config_inheritance(tmp_path):
+    (tmp_path / "base.yaml").write_text("lr: 0.1\nmodel:\n  dim: 4\n  depth: 2\n")
+    (tmp_path / "mid.yaml").write_text(
+        "base_config: base.yaml\nmodel:\n  depth: 3\nextra: 1\n"
+    )
+    (tmp_path / "leaf.yaml").write_text(
+        "base_config:\n- mid.yaml\nlr: 0.01\n"
+    )
+    cfg = load_config(str(tmp_path / "leaf.yaml"))
+    assert cfg.lr == 0.01
+    assert cfg.model.dim == 4
+    assert cfg.model.depth == 3
+    assert cfg.extra == 1
+
+
+def test_config_multi_parent_order(tmp_path):
+    (tmp_path / "a.yaml").write_text("x: 1\ny: 1\n")
+    (tmp_path / "b.yaml").write_text("x: 2\n")
+    (tmp_path / "c.yaml").write_text("base_config:\n- a.yaml\n- b.yaml\n")
+    cfg = load_config(str(tmp_path / "c.yaml"))
+    assert cfg.x == 2 and cfg.y == 1  # later parent wins
+
+
+def test_overrides_parsing():
+    ov = parse_overrides("a.b=1,c=[1 2 3],d=true,e=hello,f=[4,5]")
+    assert ov == {"a.b": 1, "c": [1, 2, 3], "d": True, "e": "hello", "f": [4, 5]}
+
+
+def test_config_override_and_save(tmp_path):
+    (tmp_path / "cfg.yaml").write_text("lr: 0.1\nnet:\n  width: 8\n")
+    wd = str(tmp_path / "work")
+    cfg = load_config(str(tmp_path / "cfg.yaml"), overrides="net.width=16", work_dir=wd)
+    assert cfg.net.width == 16
+    save_config(cfg, wd)
+    # saved config is picked up on reload and new overrides still win
+    cfg2 = load_config(str(tmp_path / "cfg.yaml"), work_dir=wd)
+    assert cfg2.net.width == 16
+
+
+def test_config_cycle_detection(tmp_path):
+    (tmp_path / "a.yaml").write_text("base_config: b.yaml\n")
+    (tmp_path / "b.yaml").write_text("base_config: a.yaml\n")
+    with pytest.raises(ValueError):
+        load_config(str(tmp_path / "a.yaml"))
+
+
+# ------------------------------------------------------------ checkpoint ----
+def test_checkpoint_roundtrip_keepn_best(tmp_path):
+    wd = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(wd, num_keep=2, save_best=True, mode="min")
+    for step, val in [(10, 1.0), (20, 0.5), (30, 0.8)]:
+        params = {"w": jnp.full((3,), float(step)), "nested": {"b": np.ones(2) * val}}
+        mgr.save(step, {"step": step, "params": params}, val_metric=val)
+    files = sorted(os.listdir(wd))
+    assert "model_ckpt_steps_10.ckpt" not in files  # pruned
+    assert "model_ckpt_steps_20.ckpt" in files
+    assert "model_ckpt_steps_30.ckpt" in files
+    assert "model_ckpt_best.ckpt" in files
+    latest = mgr.restore()
+    assert latest["step"] == 30
+    np.testing.assert_allclose(latest["params"]["w"], np.full((3,), 30.0))
+    best = mgr.restore.__self__.__class__  # noqa: F841 (sanity only)
+    from geneface_tpu.utils import load_checkpoint
+
+    best = load_checkpoint(os.path.join(wd, "model_ckpt_best.ckpt"))
+    assert best["step"] == 20  # val 0.5 was the minimum
+
+
+def test_restore_partial_shape_pruning():
+    target = {"a": np.zeros((2, 2)), "b": {"c": np.zeros(3), "d": np.zeros(4)}}
+    source = {"a": np.ones((2, 2)), "b": {"c": np.ones(5), "d": np.ones(4)}}
+    out = restore_partial(target, source, silent=True)
+    np.testing.assert_allclose(out["a"], 1.0)
+    np.testing.assert_allclose(out["b"]["c"], 0.0)  # shape mismatch skipped
+    np.testing.assert_allclose(out["b"]["d"], 1.0)
+    with pytest.raises(ValueError):
+        restore_partial(target, source, strict=True)
+
+
+def test_restore_partial_prefix():
+    source = {"model": {"head": {"w": np.full(3, 7.0)}}}
+    target = {"w": np.zeros(3)}
+    out = restore_partial(target, source, prefix="model.head")
+    np.testing.assert_allclose(out["w"], 7.0)
+
+
+# -------------------------------------------------------- indexed dataset ----
+def test_indexed_dataset_roundtrip(tmp_path):
+    path = str(tmp_path / "store")
+    rng = np.random.RandomState(0)
+    items = [{"x": rng.randn(50, 3), "i": i} for i in range(20)]
+    b = IndexedDatasetBuilder(path, header_size=4096)
+    for i, it in enumerate(items):
+        b.add_item(it, id=f"item_{i}")
+    b.finalize()
+    ds = IndexedDataset(path)
+    assert len(ds) == 20
+    for i in [0, 7, 19]:
+        np.testing.assert_allclose(ds[i]["x"], items[i]["x"])
+    # id-keyed access
+    assert ds[ds.id2pos["item_3"]]["i"] == 3
+
+
+def test_indexed_dataset_reads_reference_format(tmp_path):
+    """Files written by the reference builder must be readable."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from utils.commons.indexed_datasets import (
+            IndexedDatasetBuilder as RefBuilder,
+        )
+    except Exception:
+        pytest.skip("reference not importable")
+    finally:
+        sys.path.pop(0)
+    path = str(tmp_path / "refstore")
+    items = [{"v": np.arange(i + 1, dtype=np.float32)} for i in range(5)]
+    rb = RefBuilder(path)
+    for i, it in enumerate(items):
+        rb.add_item(it, id=i)
+    rb.finalize()
+    ds = IndexedDataset(path)
+    assert len(ds) == 5
+    for i in range(5):
+        np.testing.assert_allclose(ds[i]["v"], items[i]["v"])
+
+
+# ------------------------------------------------------------------ mesh ----
+def test_mesh_and_shard_batch():
+    assert jax.device_count() == 8
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    batch = {"rays": np.ones((16, 3)), "scalar": np.float32(2.0)}
+    sharded = shard_batch(mesh, batch)
+    assert sharded["rays"].sharding.is_fully_replicated is False
+    out = jax.jit(lambda b: b["rays"].sum() * b["scalar"])(sharded)
+    assert float(out) == 96.0
+
+
+def test_mesh_2d():
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2

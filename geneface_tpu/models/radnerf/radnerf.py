@@ -1,0 +1,198 @@
+"""RAD-NeRF: audio/landmark-conditioned instant-ngp radiance field.
+
+Flax re-design of ``modules/radnerfs/radnerf.py``: a 3-D multi-res grid
+position encoder, an **ambient MLP** mapping (pos_feat, cond_feat) → 2-D
+ambient coordinates (tanh) that index a second 2-D grid encoder, a sigma MLP
+with ``trunc_exp`` density activation, and an SH-direction-conditioned color
+MLP with per-frame individual codes (``radnerf.py:28-129``).
+
+The module is *field-only*: occupancy-grid machinery and render orchestration
+live in ``geneface_tpu.models.radnerf.renderer`` as pure functions, keeping
+this module a stateless ``params -> (sigma, color, ambient)`` map that jits
+and shards cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geneface_tpu.models.radnerf.cond_encoder import MLP, AudioAttNet, AudioNet
+from geneface_tpu.ops import (
+    grid_encode,
+    init_grid_embeddings,
+    make_grid_meta,
+    sh_encode,
+    trunc_exp,
+)
+
+__all__ = ["RADNeRF", "COND_IN_DIMS"]
+
+COND_IN_DIMS = {
+    "esperanto": 44,
+    "deepspeech": 29,
+    "idexp_lm3d_normalized": 68 * 3,
+}
+
+
+class RADNeRF(nn.Module):
+    """Config keys mirror ``egs/egs_bases/radnerf/base.yaml``."""
+
+    cond_type: str = "idexp_lm3d_normalized"
+    cond_out_dim: int = 64
+    cond_win_size: int = 1
+    smo_win_size: int = 5
+    with_att: bool = True
+    bound: float = 1.0
+    grid_type: str = "tiledgrid"  # "tiledgrid" | "hashgrid"
+    grid_interpolation_type: str = "linear"
+    log2_hashmap_size: int = 16
+    desired_resolution: int = 2048
+    num_layers_ambient: int = 3
+    hidden_dim_ambient: int = 128
+    ambient_out_dim: int = 2
+    num_layers_sigma: int = 3
+    hidden_dim_sigma: int = 128
+    geo_feat_dim: int = 128
+    num_layers_color: int = 2
+    hidden_dim_color: int = 128
+    individual_embedding_num: int = 13000
+    individual_embedding_dim: int = 4
+    sh_degree: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        gridtype = {"tiledgrid": "tiled", "hashgrid": "hash"}[self.grid_type]
+        self.pos_grid_meta = make_grid_meta(
+            input_dim=3,
+            num_levels=16,
+            level_dim=2,
+            base_resolution=16,
+            log2_hashmap_size=self.log2_hashmap_size,
+            desired_resolution=int(self.desired_resolution * self.bound),
+            gridtype=gridtype,
+            interpolation=self.grid_interpolation_type,
+        )
+        self.ambient_grid_meta = make_grid_meta(
+            input_dim=self.ambient_out_dim,
+            num_levels=16,
+            level_dim=2,
+            base_resolution=16,
+            log2_hashmap_size=self.log2_hashmap_size,
+            desired_resolution=self.desired_resolution,
+            gridtype=gridtype,
+            interpolation=self.grid_interpolation_type,
+        )
+        self.pos_embeddings = self.param(
+            "pos_embeddings",
+            lambda rng: init_grid_embeddings(rng, self.pos_grid_meta),
+        )
+        self.ambient_embeddings = self.param(
+            "ambient_embeddings",
+            lambda rng: init_grid_embeddings(rng, self.ambient_grid_meta),
+        )
+        self.cond_prenet = AudioNet(
+            dim_aud=self.cond_out_dim, win_size=self.cond_win_size
+        )
+        if self.with_att:
+            self.cond_att_net = AudioAttNet(
+                in_out_dim=self.cond_out_dim, seq_len=self.smo_win_size
+            )
+        self.ambient_net = MLP(
+            dim_out=self.ambient_out_dim,
+            dim_hidden=self.hidden_dim_ambient,
+            num_layers=self.num_layers_ambient,
+        )
+        self.sigma_net = MLP(
+            dim_out=1 + self.geo_feat_dim,
+            dim_hidden=self.hidden_dim_sigma,
+            num_layers=self.num_layers_sigma,
+        )
+        self.color_net = MLP(
+            dim_out=3,
+            dim_hidden=self.hidden_dim_color,
+            num_layers=self.num_layers_color,
+        )
+        if self.individual_embedding_dim > 0:
+            self.individual_embeddings = self.param(
+                "individual_embeddings",
+                lambda rng: 0.1
+                * jax.random.normal(
+                    rng,
+                    (self.individual_embedding_num, self.individual_embedding_dim),
+                ),
+            )
+
+    def init_all(self, cond: jax.Array, position: jax.Array, direction: jax.Array):
+        """Trace every submodule once so ``model.init`` creates all params."""
+        cond_feat = self.cal_cond_feat(cond)
+        ind = (
+            self.individual_embeddings[0]
+            if self.individual_embedding_dim > 0
+            else None
+        )
+        return self(position, direction, cond_feat, ind)
+
+    # -- condition path ------------------------------------------------------
+    def cal_cond_feat(self, cond: jax.Array) -> jax.Array:
+        """[B_smo, W, C_in] raw condition window → [1, cond_out_dim].
+
+        With attention, B_smo = smo_win_size consecutive frames are reduced to
+        one smoothed feature (``radnerf.py:61-71``).
+        """
+        feat = self.cond_prenet(cond)  # [B_smo, C_out]
+        if self.with_att:
+            feat = self.cond_att_net(feat)[None]  # [1, C_out]
+        return feat
+
+    # -- field queries -------------------------------------------------------
+    def _ambient_and_pos(self, position, cond_feat):
+        x01 = (position + self.bound) / (2 * self.bound)
+        pos_feat = grid_encode(x01, self.pos_embeddings, self.pos_grid_meta)
+        cond_rep = jnp.broadcast_to(
+            cond_feat.reshape(1, -1), (position.shape[0], cond_feat.shape[-1])
+        )
+        ambient_logit = self.ambient_net(
+            jnp.concatenate([pos_feat, cond_rep], axis=-1)
+        ).astype(jnp.float32)
+        ambient_pos = jnp.tanh(ambient_logit)  # in [-1, 1]
+        amb01 = (ambient_pos + 1.0) / 2.0
+        ambient_feat = grid_encode(
+            amb01, self.ambient_embeddings, self.ambient_grid_meta
+        )
+        return pos_feat, ambient_feat, ambient_pos
+
+    def density(self, position: jax.Array, cond_feat: jax.Array) -> dict:
+        """Density-only query used by occupancy updates (``radnerf.py:107-129``)."""
+        pos_feat, ambient_feat, _ = self._ambient_and_pos(position, cond_feat)
+        h = self.sigma_net(jnp.concatenate([pos_feat, ambient_feat], axis=-1))
+        return {"sigma": trunc_exp(h[..., 0]), "geo_feat": h[..., 1:]}
+
+    def __call__(
+        self,
+        position: jax.Array,  # [N, 3] in [-bound, bound]
+        direction: jax.Array,  # [N, 3] normalized
+        cond_feat: jax.Array,  # [1, cond_out_dim]
+        individual_code: jax.Array | None,  # [ind_dim] or None
+    ):
+        pos_feat, ambient_feat, ambient_pos = self._ambient_and_pos(
+            position, cond_feat
+        )
+        h = self.sigma_net(jnp.concatenate([pos_feat, ambient_feat], axis=-1))
+        sigma = trunc_exp(h[..., 0])
+        geo_feat = h[..., 1:]
+
+        dir_feat = sh_encode(direction, self.sh_degree)
+        parts = [dir_feat, geo_feat]
+        if individual_code is not None:
+            parts.append(
+                jnp.broadcast_to(
+                    individual_code.reshape(1, -1),
+                    (position.shape[0], individual_code.shape[-1]),
+                )
+            )
+        color = jax.nn.sigmoid(self.color_net(jnp.concatenate(parts, axis=-1)))
+        return sigma, color, ambient_pos

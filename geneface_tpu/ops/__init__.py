@@ -1,0 +1,23 @@
+from geneface_tpu.ops.activations import trunc_exp  # noqa: F401
+from geneface_tpu.ops.encoders import (  # noqa: F401
+    GridMeta,
+    freq_encode,
+    grid_encode,
+    grid_total_variation,
+    init_grid_embeddings,
+    make_grid_meta,
+    sh_encode,
+)
+from geneface_tpu.ops.morton import (  # noqa: F401
+    dilate_grid3d,
+    morton3d,
+    morton3d_invert,
+    packbits,
+)
+from geneface_tpu.ops.raymarch import (  # noqa: F401
+    MarchResult,
+    composite_rays,
+    march_rays_train,
+    near_far_from_aabb,
+)
+from geneface_tpu.ops.volume import raw2outputs, render_rays, sample_pdf  # noqa: F401

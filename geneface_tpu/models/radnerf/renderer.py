@@ -187,6 +187,7 @@ def render_rays_radnerf(
     T_thresh: float = 1e-4,
     aabb: jax.Array | None = None,
     density_scale: float = 1.0,
+    field_chunks: int = 1,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -229,14 +230,29 @@ def render_rays_radnerf(
     )  # [N, S, 3]
     dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
 
-    sigma, rgb, ambient_pos = field_fn(xyz.reshape(-1, 3), dirs.reshape(-1, 3))
+    xyz_flat = xyz.reshape(-1, 3)
+    dirs_flat = dirs.reshape(-1, 3)
+    if field_chunks > 1:
+        M = xyz_flat.shape[0]
+        sigma, rgb, ambient_pos = jax.lax.map(
+            lambda args: field_fn(*args),
+            (
+                xyz_flat.reshape(field_chunks, M // field_chunks, 3),
+                dirs_flat.reshape(field_chunks, M // field_chunks, 3),
+            ),
+        )
+        sigma = sigma.reshape(-1)
+        rgb = rgb.reshape(-1, 3)
+        ambient_pos = ambient_pos.reshape(-1, ambient_pos.shape[-1])
+    else:
+        sigma, rgb, ambient_pos = field_fn(xyz_flat, dirs_flat)
     sigma = (sigma * density_scale).reshape(N, S)
-    rgb = rgb.reshape(N, S, 3)
+    rgb_t = rgb.T.reshape(3, N, S)  # channel-major for TPU tiling
     ambient_norm = jnp.sum(jnp.abs(ambient_pos), axis=-1).reshape(N, S)
 
     comp = composite_rays(
         sigma,
-        rgb,
+        rgb_t,
         march.dts,
         march.depth_ts,
         march.valid,

@@ -250,30 +250,30 @@ def init_grid_embeddings(rng: jax.Array, meta: GridMeta, std: float = 1e-4) -> j
     )
 
 
-def _level_corner_index(
-    pos_grid: jax.Array,  # [B, 2^D, D] uint32 integer corner coords
+def _corner_index_1d(
+    comps: list,  # D arrays [M] uint32 integer corner coords (per dimension)
     meta: GridMeta,
     resolution: int,
     hashmap_size: int,
 ) -> jax.Array:
-    """Global (per-level) entry index for each corner; mirrors
-    ``get_grid_index`` (``gridencoder.cu:67-84``)."""
+    """Global (per-level) entry index for one corner; mirrors
+    ``get_grid_index`` (``gridencoder.cu:67-84``). All math on 1-D arrays —
+    TPU tiling pads the minor axis to 128, so [M, D] layouts with D=2/3 waste
+    up to 42× memory; per-component [M] arrays are tight."""
     D = meta.input_dim
     side = resolution if meta.align_corners else resolution + 1
     # dense stride addressing, including dim d only while stride <= hashmap_size
     stride = 1
-    index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+    index = jnp.zeros_like(comps[0])
     for d in range(D):
         if stride > hashmap_size:
             break
-        index = index + pos_grid[..., d] * jnp.uint32(stride)
+        index = index + comps[d] * jnp.uint32(stride)
         stride *= side
-    use_hash = meta.gridtype == "hash" and stride > hashmap_size
-    if use_hash:
-        h = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
-        for d in range(D):
-            h = h ^ (pos_grid[..., d] * jnp.uint32(_HASH_PRIMES[d]))
-        index = h
+    if meta.gridtype == "hash" and stride > hashmap_size:
+        index = comps[0] * jnp.uint32(_HASH_PRIMES[0])
+        for d in range(1, D):
+            index = index ^ (comps[d] * jnp.uint32(_HASH_PRIMES[d]))
     return index % jnp.uint32(hashmap_size)
 
 
@@ -288,54 +288,63 @@ def grid_encode(
     Differentiable in both ``inputs`` and ``embeddings`` (the embedding grad is
     the gather transpose = scatter-add the CUDA backward implements with
     atomicAdd, ``gridencoder.cu:248-341``).
+
+    TPU layout: all per-point intermediates are 1-D [M] arrays (per dimension
+    / per channel) gathered from the *flattened* table, and the per-level
+    results are accumulated dim-major [L*C, M] before one final transpose —
+    no [M, small] temporaries that XLA would pad 42×.
     """
     D = meta.input_dim
     C = meta.level_dim
     prefix = inputs.shape[:-1]
     x = inputs.reshape(-1, D).astype(jnp.float32)
-    B = x.shape[0]
+    comps_in = [x[:, d] for d in range(D)]  # D × [M]
 
-    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [B]
-    xs = jnp.clip(x, 0.0, 1.0)
+    oob = jnp.zeros_like(comps_in[0], dtype=bool)
+    for c in comps_in:
+        oob = oob | (c < 0.0) | (c > 1.0)
+    comps_clip = [jnp.clip(c, 0.0, 1.0) for c in comps_in]
 
-    # corner offset patterns [2^D, D] in {0,1}
-    corners = np.stack(
-        np.meshgrid(*([np.array([0, 1])] * D), indexing="ij"), axis=-1
-    ).reshape(-1, D)
-    corners = corners[:, ::-1].copy()  # bit d of idx flips dim d (cu:169-177)
-    corners_j = jnp.asarray(corners, dtype=jnp.float32)  # [K, D]
+    emb_flat = embeddings.reshape(-1)  # [n_entries * C]
 
     log2_s = math.log2(meta.per_level_scale)
-    outs = []
+    rows = []  # L*C arrays of [M]
     for lvl in range(meta.num_levels):
         scale = math.exp2(lvl * log2_s) * meta.base_resolution - 1.0
         resolution = int(math.ceil(scale)) + 1
         hashmap_size = meta.offsets[lvl + 1] - meta.offsets[lvl]
+        off = 0.0 if meta.align_corners else 0.5
 
-        pos = xs * scale + (0.0 if meta.align_corners else 0.5)  # [B, D]
-        pos_floor = jnp.floor(pos)
-        frac = pos - pos_floor
-        if meta.interpolation == "smoothstep":
-            w_frac = frac * frac * (3.0 - 2.0 * frac)
-        else:
-            w_frac = frac
-        base = pos_floor.astype(jnp.uint32)  # [B, D]
+        base, frac = [], []
+        for c in comps_clip:
+            pos = c * scale + off
+            pf = jnp.floor(pos)
+            f = pos - pf
+            if meta.interpolation == "smoothstep":
+                f = f * f * (3.0 - 2.0 * f)
+            base.append(pf.astype(jnp.uint32))
+            frac.append(f)
 
-        corner_coords = base[:, None, :] + corners_j.astype(jnp.uint32)  # [B,K,D]
-        idx = _level_corner_index(corner_coords, meta, resolution, hashmap_size)
-        idx = idx + jnp.uint32(meta.offsets[lvl])  # [B, K]
+        acc = [jnp.zeros_like(comps_clip[0]) for _ in range(C)]
+        for corner in range(1 << D):
+            local = []
+            w = None
+            for d in range(D):
+                if (corner >> d) & 1:
+                    local.append(base[d] + jnp.uint32(1))
+                    wd = frac[d]
+                else:
+                    local.append(base[d])
+                    wd = 1.0 - frac[d]
+                w = wd if w is None else w * wd
+            idx = _corner_index_1d(local, meta, resolution, hashmap_size)
+            flat = (idx + jnp.uint32(meta.offsets[lvl])).astype(jnp.int32) * C
+            for ch in range(C):
+                acc[ch] = acc[ch] + w * emb_flat[flat + ch]
+        rows.extend(acc)
 
-        # lerp weights: prod over dims of (frac or 1-frac)
-        w = jnp.prod(
-            jnp.where(corners_j[None], w_frac[:, None, :], 1.0 - w_frac[:, None, :]),
-            axis=-1,
-        )  # [B, K]
-        vals = embeddings[idx.astype(jnp.int32)]  # [B, K, C]
-        level_out = jnp.sum(w[..., None] * vals, axis=1)  # [B, C]
-        outs.append(level_out)
-
-    out = jnp.concatenate(outs, axis=-1)  # [B, L*C]
-    out = jnp.where(oob[:, None], 0.0, out)
+    out = jnp.stack(rows)  # [L*C, M], minor axis M: tight tiling
+    out = jnp.where(oob[None, :], 0.0, out).T  # [M, L*C]
     return out.reshape(*prefix, meta.num_levels * C)
 
 
@@ -351,18 +360,20 @@ def grid_total_variation(
     scalar loss (differentiable) rather than a raw grad injection."""
     D = meta.input_dim
     x = jax.random.uniform(rng, (n_samples, D))
+    comps = [x[:, d] for d in range(D)]
     log2_s = math.log2(meta.per_level_scale)
     loss = jnp.float32(0.0)
     for lvl in range(meta.num_levels):
         scale = math.exp2(lvl * log2_s) * meta.base_resolution - 1.0
         resolution = int(math.ceil(scale)) + 1
         hashmap_size = meta.offsets[lvl + 1] - meta.offsets[lvl]
-        base = jnp.floor(x * scale).astype(jnp.uint32)  # [B, D]
-        idx0 = _level_corner_index(base, meta, resolution, hashmap_size)
+        base = [jnp.floor(c * scale).astype(jnp.uint32) for c in comps]
+        idx0 = _corner_index_1d(base, meta, resolution, hashmap_size)
         v0 = embeddings[(idx0 + jnp.uint32(meta.offsets[lvl])).astype(jnp.int32)]
         for d in range(D):
-            shifted = base.at[:, d].add(jnp.uint32(1))
-            idx1 = _level_corner_index(shifted, meta, resolution, hashmap_size)
+            shifted = list(base)
+            shifted[d] = base[d] + jnp.uint32(1)
+            idx1 = _corner_index_1d(shifted, meta, resolution, hashmap_size)
             v1 = embeddings[(idx1 + jnp.uint32(meta.offsets[lvl])).astype(jnp.int32)]
             loss = loss + jnp.mean((v1 - v0) ** 2)
     return loss

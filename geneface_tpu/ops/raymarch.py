@@ -123,9 +123,11 @@ def march_rays_train(
     if march_iters is None:
         march_iters = 4 * max_steps
 
-    o = jax.lax.stop_gradient(rays_o.astype(jnp.float32))
-    d = jax.lax.stop_gradient(rays_d.astype(jnp.float32))
-    inv_d = 1.0 / d
+    # per-component 1-D arrays: [N, 3] layouts pad the minor axis 3->128 on
+    # TPU (42x memory); component columns are tight
+    o3 = [jax.lax.stop_gradient(rays_o[:, i].astype(jnp.float32)) for i in range(3)]
+    d3 = [jax.lax.stop_gradient(rays_d[:, i].astype(jnp.float32)) for i in range(3)]
+    inv_d3 = [1.0 / c for c in d3]
     dt_max = 2.0 * _SQRT3 * (1 << (C - 1)) / H
     dt_min = min(dt_max, 2.0 * _SQRT3 / max_steps)
 
@@ -137,10 +139,12 @@ def march_rays_train(
 
     def occupancy_and_skip(t):
         """Occupancy at position t plus the DDA skip target (cu:466-510)."""
-        pos = jnp.clip(o + t[:, None] * d, -bound, bound)  # [N, 3]
+        pos3 = [jnp.clip(oc + t * dc, -bound, bound) for oc, dc in zip(o3, d3)]
         dt = dt_of(t)
         if C > 1:
-            mx = jnp.max(jnp.abs(pos), axis=-1)
+            mx = jnp.maximum(
+                jnp.abs(pos3[0]), jnp.maximum(jnp.abs(pos3[1]), jnp.abs(pos3[2]))
+            )
             mip_pos = jnp.clip(_exponent(mx), 0, C - 1)
             mip_dt = jnp.clip(_exponent(dt * H * 0.5), 0, C - 1)
             level = jnp.maximum(mip_pos, mip_dt)
@@ -150,19 +154,24 @@ def march_rays_train(
             mip_bound = jnp.full_like(t, min(1.0, bound))
         mip_rbound = 1.0 / mip_bound
         # nearest grid cell (int truncation as the CUDA float->int cast)
-        cell_f = jnp.clip(
-            0.5 * (pos * mip_rbound[:, None] + 1.0) * H, 0.0, float(H - 1)
-        )
-        cell = cell_f.astype(jnp.int32)  # [N, 3]
-        lin = (cell[:, 0] * H + cell[:, 1]) * H + cell[:, 2]
+        cell3 = [
+            jnp.clip(0.5 * (p * mip_rbound + 1.0) * H, 0.0, float(H - 1)).astype(
+                jnp.int32
+            )
+            for p in pos3
+        ]
+        lin = (cell3[0] * H + cell3[1]) * H + cell3[2]
         occ = grid_flat[level, lin]  # [N] bool
         # distance to next voxel boundary along each axis
-        nxt = (
-            ((cell.astype(jnp.float32) + 0.5 + 0.5 * jnp.sign(d)) * (2.0 / H) - 1.0)
-            * mip_bound[:, None]
-            - pos
-        ) * inv_d
-        t_target = t + jnp.maximum(0.0, jnp.min(nxt, axis=-1))
+        t_skip = None
+        for cell, p, dc, inv_dc in zip(cell3, pos3, d3, inv_d3):
+            nxt = (
+                ((cell.astype(jnp.float32) + 0.5 + 0.5 * jnp.sign(dc)) * (2.0 / H) - 1.0)
+                * mip_bound
+                - p
+            ) * inv_dc
+            t_skip = nxt if t_skip is None else jnp.minimum(t_skip, nxt)
+        t_target = t + jnp.maximum(0.0, t_skip)
         return occ, t_target
 
     slot_iota = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
@@ -205,7 +214,7 @@ def march_rays_train(
 
 def composite_rays(
     sigmas: jax.Array,  # [N, S]
-    rgbs: jax.Array,  # [N, S, 3]
+    rgbs: jax.Array,  # [3, N, S]  (channel-major: minor axes stay large on TPU)
     dts: jax.Array,  # [N, S]
     depth_ts: jax.Array,  # [N, S]
     valid: jax.Array,  # [N, S] bool
@@ -233,7 +242,9 @@ def composite_rays(
     include = jax.lax.stop_gradient(T_before >= T_thresh) & valid
     weights = jnp.where(include, alpha * T_before, 0.0)  # [N, S]
 
-    image = jnp.einsum("ns,nsc->nc", weights, rgbs)
+    image = jnp.stack(
+        [jnp.sum(weights * rgbs[c], axis=-1) for c in range(3)], axis=-1
+    )  # [N, 3]
     weights_sum = jnp.sum(weights, axis=-1)
     depth = jnp.sum(weights * depth_ts, axis=-1)
     out = {

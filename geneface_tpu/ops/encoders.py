@@ -37,6 +37,7 @@ __all__ = [
     "make_block_grid_meta",
     "build_block_tables",
     "block_grid_encode",
+    "fast_grid_encode",
     "sh_encode",
     "GridMeta",
     "make_grid_meta",
@@ -597,3 +598,156 @@ def block_grid_encode(
     out = jnp.concatenate(outs, axis=-1)
     out = jnp.where(oob[:, None], 0.0, out)
     return out.reshape(*prefix, meta.num_levels * C)
+
+
+def _block_level_rows(comps, bmeta, lvl):
+    """Shared index math: per-level (base, frac, row-index) for the fast
+    table. comps: list of D clipped [M] arrays."""
+    meta = bmeta.base
+    D = meta.input_dim
+    log2_s = math.log2(meta.per_level_scale)
+    scale = math.exp2(lvl * log2_s) * meta.base_resolution - 1.0
+    off = 0.0 if meta.align_corners else 0.5
+    base, frac = [], []
+    for c in comps:
+        pos = c * scale + off
+        pf = jnp.floor(pos)
+        f = pos - pf
+        if meta.interpolation == "smoothstep":
+            f = f * f * (3.0 - 2.0 * f)
+        base.append(pf.astype(jnp.int32))
+        frac.append(f)
+    pbits = [b & 1 for b in base]
+    bcoords = [(b + p) >> 1 for b, p in zip(base, pbits)]
+    if bmeta.modes[lvl] == "dense":
+        bside = bmeta.block_sides[lvl]
+        parity, blk, stride = pbits[0], bcoords[0], bside
+        for d in range(1, D):
+            parity = parity + (pbits[d] << d)
+            blk = blk + bcoords[d] * stride
+            stride *= bside
+        row = bmeta.row_offsets[lvl] + parity * (bside**D) + blk
+        row_local = None
+    else:
+        n = bmeta.n_hash_rows[lvl]
+        h = bcoords[0].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
+        for d in range(1, D):
+            h = h ^ (bcoords[d].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[d]))
+        pall = pbits[0]
+        for d in range(1, D):
+            pall = pall + (pbits[d] << d)
+        h = h ^ (pall.astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[min(D, 6)]))
+        row_local = (h % jnp.uint32(n)).astype(jnp.int32)
+        row = bmeta.row_offsets[lvl] + row_local
+    return base, frac, pbits, bcoords, row, row_local, scale
+
+
+def _canonical_corner_index(bmeta, lvl, base, pbits, bcoords, row_local, corner):
+    """Canonical [n_entries]-space index of corner ``corner`` for this level
+    (used by the custom backward to scatter grads into the canonical table)."""
+    meta = bmeta.base
+    D = meta.input_dim
+    K = 1 << D
+    if bmeta.modes[lvl] == "dense":
+        side = bmeta.level_sides[lvl]
+        idx, stride = None, 1
+        for d in range(D):
+            coord = base[d] + ((corner >> d) & 1)
+            contrib = coord * stride
+            idx = contrib if idx is None else idx + contrib
+            stride *= side
+        return meta.offsets[lvl] + idx
+    # block_hash: canonical entry = row_local * K + corner within the region
+    return meta.offsets[lvl] + row_local * K + corner
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fast_grid_encode(inputs, embeddings, bmeta):
+    """Block-layout grid encode with a scalar-scatter backward.
+
+    Forward = ``build_block_tables`` + ``block_grid_encode`` (one wide
+    row-gather per level — fast on TPU). The naive autodiff backward of a
+    row gather is a row *scatter*, which XLA TPU executes ~25x slower than
+    scalar scatters (measured 838 ms vs ~free for a fused [1M,16] update);
+    this custom VJP instead scatters per-(corner, channel) scalars into the
+    canonical table — the same formulation as the reference CUDA backward
+    (``gridencoder.cu:248-341``), which XLA fuses efficiently.
+    """
+    tables = build_block_tables(embeddings, bmeta)
+    return block_grid_encode(inputs, tables, bmeta)
+
+
+def _fge_fwd(inputs, embeddings, bmeta):
+    tables = build_block_tables(embeddings, bmeta)
+    out = block_grid_encode(inputs, tables, bmeta)
+    return out, (inputs, tables, embeddings.shape)
+
+
+def _fge_bwd(bmeta, res, g):
+    inputs, tables, emb_shape = res
+    meta = bmeta.base
+    D = meta.input_dim
+    C = meta.level_dim
+    K = 1 << D
+    prefix = inputs.shape[:-1]
+    x = inputs.reshape(-1, D).astype(jnp.float32)
+    comps_raw = [x[:, d] for d in range(D)]
+    oob = jnp.zeros_like(comps_raw[0], dtype=bool)
+    for c in comps_raw:
+        oob = oob | (c < 0.0) | (c > 1.0)
+    comps = [jnp.clip(c, 0.0, 1.0) for c in comps_raw]
+    g2 = g.reshape(-1, meta.num_levels * C)
+    g2 = jnp.where(oob[:, None], 0.0, g2)
+
+    grad_emb = jnp.zeros((emb_shape[0] * emb_shape[1],), jnp.float32)
+    grad_in_comps = [jnp.zeros_like(comps[0]) for _ in range(D)]
+    log2_s = math.log2(meta.per_level_scale)
+
+    for lvl in range(meta.num_levels):
+        base, frac, pbits, bcoords, row, row_local, scale = _block_level_rows(
+            comps, bmeta, lvl
+        )
+        g_lvl = g2[:, lvl * C : (lvl + 1) * C]  # [M, C]
+        rows_v = tables[row].astype(jnp.float32).reshape(-1, K, C)  # for dx
+        for corner in range(K):
+            w = None
+            for d in range(D):
+                kd = (corner >> d) & 1
+                wd = frac[d] if kd == 1 else (1.0 - frac[d])
+                w = wd if w is None else w * wd
+            canon = _canonical_corner_index(
+                bmeta, lvl, base, pbits, bcoords, row_local, corner
+            )
+            for ch in range(C):
+                grad_emb = grad_emb.at[canon * C + ch].add(w * g_lvl[:, ch])
+        # input grads: dy/dfrac_d = sum_corners (+-prod_{d'!=d} w_d') * v
+        vg = jnp.einsum("mkc,mc->mk", rows_v, g_lvl)  # [M, K]
+        for d in range(D):
+            dw = None
+            for corner in range(K):
+                wpartial = None
+                for dd in range(D):
+                    if dd == d:
+                        continue
+                    kd = (corner >> dd) & 1
+                    wd = frac[dd] if kd == 1 else (1.0 - frac[dd])
+                    wpartial = wd if wpartial is None else wpartial * wd
+                sign = 1.0 if ((corner >> d) & 1) == 1 else -1.0
+                term = sign * (wpartial if wpartial is not None else 1.0) * vg[:, corner]
+                dw = term if dw is None else dw + term
+            # d frac/d x = scale (x2 smoothstep deriv applied below)
+            if meta.interpolation == "smoothstep":
+                # frac was smoothstepped; d smooth/d raw = 6 f (1-f) on the
+                # raw fraction — recompute raw fraction
+                pos = comps[d] * scale + (0.0 if meta.align_corners else 0.5)
+                raw_f = pos - jnp.floor(pos)
+                dsm = 6.0 * raw_f * (1.0 - raw_f)
+                dw = dw * dsm
+            grad_in_comps[d] = grad_in_comps[d] + dw * scale
+
+    grad_in = jnp.stack(grad_in_comps, axis=-1)
+    grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
+    return grad_in, grad_emb.reshape(emb_shape)
+
+
+fast_grid_encode.defvjp(_fge_fwd, _fge_bwd)

@@ -133,9 +133,31 @@ class RADNeRFTask(Task):
             grid_size=self.grid_size,
         )
 
+    def _expand_light_batch(self, batch):
+        """Light batches carry pixel indices + uint8 pixels; reconstruct
+        rays / bg coords / face mask / float pixels on device."""
+        if "inds" not in batch:
+            return batch
+        from geneface_tpu.utils.camera import bg_coords_device, get_rays_device
+
+        ds = self.train_ds
+        inds = batch["inds"]
+        rays_o, rays_d, i, j = get_rays_device(
+            batch["pose_matrix"], ds.intrinsics, inds, ds.H, ds.W
+        )
+        fr = batch["face_rect"]
+        out = dict(batch)
+        out["rays_o"], out["rays_d"] = rays_o, rays_d
+        out["bg_coords"] = bg_coords_device(inds, ds.H, ds.W)
+        out["face_mask"] = (j >= fr[0]) & (j < fr[1]) & (i >= fr[2]) & (i < fr[3])
+        for k in ("gt_img", "bg_img", "bg_torso_img"):
+            out[k] = out.pop(f"{k}_u8").astype(jnp.float32) / 255.0
+        return out
+
     def _loss_fn(self, params, occ, batch, rng, train: bool):
         cfg = self.cfg
         model = self.model
+        batch = self._expand_light_batch(batch)
 
         cond_feat = model.apply(
             params, batch["cond_wins"], method=model.cal_cond_feat
@@ -237,6 +259,8 @@ class RADNeRFTask(Task):
         keep = (
             "rays_o", "rays_d", "gt_img", "bg_img", "bg_torso_img",
             "bg_coords", "face_mask", "cond_wins",
+            "inds", "gt_img_u8", "bg_img_u8", "bg_torso_img_u8",
+            "pose_matrix", "face_rect",
         )
         out = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
         out["idx"] = jnp.asarray(batch["idx"], jnp.int32)

@@ -130,6 +130,7 @@ class RADNeRFTorsoTask(RADNeRFTask):
     def _loss_fn_torso(self, params, occ, torso_occ, batch, rng, train: bool):
         cfg = self.cfg
         model = self.model
+        batch = self._expand_light_batch(batch)
         cond_feat = model.apply(params, batch["cond_wins"], method=model.cal_cond_feat)
         ind_codes = params["params"].get("individual_embeddings")
         ind = (

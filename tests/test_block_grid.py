@@ -73,3 +73,48 @@ def test_block_encode_grads_reach_canonical():
     # compare against reference-encoder gradient on the dense config
     g_ref = jax.grad(lambda e: grid_encode(pts, e, meta).sum())(emb)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-4)
+
+
+def test_fast_grid_encode_custom_vjp_matches_reference():
+    from geneface_tpu.ops.encoders import fast_grid_encode
+
+    meta, bmeta, emb, _ = _setup(3, 16, 16)  # all dense -> exact parity
+    pts = jnp.asarray(np.random.RandomState(5).rand(24, 3), jnp.float32)
+    g_out = jnp.asarray(np.random.RandomState(6).randn(24, meta.output_dim),
+                        jnp.float32)
+
+    def loss_fast(p, e):
+        return jnp.sum(fast_grid_encode(p, e, bmeta) * g_out)
+
+    def loss_ref(p, e):
+        return jnp.sum(grid_encode(p, e, meta) * g_out)
+
+    v_fast = float(loss_fast(pts, emb))
+    v_ref = float(loss_ref(pts, emb))
+    np.testing.assert_allclose(v_fast, v_ref, rtol=2e-3)
+
+    gp_f, ge_f = jax.grad(loss_fast, argnums=(0, 1))(pts, emb)
+    gp_r, ge_r = jax.grad(loss_ref, argnums=(0, 1))(pts, emb)
+    np.testing.assert_allclose(np.asarray(ge_f), np.asarray(ge_r),
+                               rtol=1e-2, atol=1e-3)
+    # fast tables are bf16 by design -> input grads carry ~1e-2 relative
+    # quantization noise vs the f32 reference
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=5e-2, atol=1e-1)
+
+
+def test_fast_grid_encode_smoothstep_grads():
+    from geneface_tpu.ops.encoders import fast_grid_encode, make_block_grid_meta
+
+    meta = make_grid_meta(input_dim=2, num_levels=3, level_dim=2,
+                          base_resolution=4, log2_hashmap_size=16,
+                          desired_resolution=16, gridtype="tiled",
+                          interpolation="smoothstep")
+    bmeta = make_block_grid_meta(meta)
+    emb = init_grid_embeddings(jax.random.PRNGKey(0), meta) * 1e4
+    pts = jnp.asarray(np.random.RandomState(7).rand(12, 2), jnp.float32)
+    gp_f = jax.grad(lambda p: fast_grid_encode(p, emb, bmeta).sum())(pts)
+    gp_r = jax.grad(lambda p: grid_encode(p, emb, meta).sum())(pts)
+    # bf16 fast tables -> small quantization noise vs the f32 reference
+    np.testing.assert_allclose(np.asarray(gp_f), np.asarray(gp_r),
+                               rtol=5e-2, atol=1e-1)

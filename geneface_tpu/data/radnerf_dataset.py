@@ -207,6 +207,7 @@ class RADNeRFDataset:
                 cy = np.clip((ymin + ymax) // 2, P // 2, self.W - P // 2)
                 rect = (cx - P // 2, cx + P // 2, cy - P // 2, cy + P // 2)
                 out["lip_rect"] = rect
+                out["is_lip_patch"] = True
                 rays = get_rays(
                     self.poses[idx], self.intrinsics, self.H, self.W,
                     rect=rect, n_rays=1, rng=self.rng,

@@ -28,6 +28,7 @@ import numpy as np
 import optax
 
 from geneface_tpu.data.radnerf_dataset import RADNeRFDataset, get_cond_window
+from geneface_tpu.models.lpips import LPIPS, lpips_params_from_npz
 from geneface_tpu.models.radnerf import (
     RADNeRF,
     init_occupancy,
@@ -119,8 +120,28 @@ class RADNeRFTask(Task):
 
         self._step = 0
         self.finetune_lip_flag = False
+        self._build_lpips(rng)
         self._build_jits()
         return {"params": params, "opt_state": opt_state, "occ": occ}
+
+    def _build_lpips(self, rng):
+        """Perceptual criterion for the lip fine-tune phase
+        (``tasks/radnerfs/radnerf.py:34,152``). Frozen — never trained."""
+        cfg = self.cfg
+        self.lpips = None
+        self.lpips_params = None
+        if not cfg.get("finetune_lips", True):
+            return
+        self.lpips = LPIPS()
+        weights = cfg.get("lpips_weights", "")
+        if weights:
+            self.lpips_params = lpips_params_from_npz(weights)
+        else:
+            P = int(cfg.get("lip_patch_size", 64))
+            dummy = jnp.zeros((1, P, P, 3))
+            self.lpips_params = self.lpips.init(
+                jax.random.fold_in(rng, 1), dummy, dummy
+            )
 
     # ----------------------------------------------------------- jit fns ----
     def _render_kwargs(self):
@@ -154,7 +175,7 @@ class RADNeRFTask(Task):
             out[k] = out.pop(f"{k}_u8").astype(jnp.float32) / 255.0
         return out
 
-    def _loss_fn(self, params, occ, batch, rng, train: bool):
+    def _loss_fn(self, params, occ, batch, rng, train: bool, lip: bool = False):
         cfg = self.cfg
         model = self.model
         batch = self._expand_light_batch(batch)
@@ -206,6 +227,16 @@ class RADNeRFTask(Task):
                 * losses["weights_entropy_loss"]
                 + lambda_amb * losses["ambient_loss"]
             )
+            if lip and self.lpips is not None:
+                # lip-phase rays are a [P*P] row-major square patch
+                # (radnerf_dataset lip mode); perceptual loss on the patch
+                # mirrors tasks/radnerfs/radnerf.py:147-152
+                P = int(cfg.get("lip_patch_size", 64))
+                pred_p = pred.reshape(1, P, P, 3)
+                gt_p = gt.reshape(1, P, P, 3)
+                lp = jnp.mean(self.lpips.apply(self.lpips_params, pred_p, gt_p))
+                losses["lpips_loss"] = lp
+                total = total + cfg.get("lambda_lpips_loss", 0.001) * lp
         else:
             total = mse
         losses["total_loss"] = total
@@ -215,16 +246,26 @@ class RADNeRFTask(Task):
     def _build_jits(self):
         tx = self.tx
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, occ, batch, rng):
-            (_, losses), grads = jax.value_and_grad(
-                lambda p: self._loss_fn(p, occ, batch, rng, train=True),
-                has_aux=True,
-            )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            losses["grad_norm"] = optax.global_norm(grads)
-            return params, opt_state, losses
+        def _make_train_step(lip: bool):
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, occ, batch, rng):
+                (_, losses), grads = jax.value_and_grad(
+                    lambda p: self._loss_fn(
+                        p, occ, batch, rng, train=True, lip=lip
+                    ),
+                    has_aux=True,
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                losses["grad_norm"] = optax.global_norm(grads)
+                return params, opt_state, losses
+
+            return train_step
+
+        train_step = _make_train_step(lip=False)
+        self._train_step_lip_fn = (
+            _make_train_step(lip=True) if self.lpips is not None else None
+        )
 
         @jax.jit
         def val_step(params, occ, batch, rng):
@@ -291,7 +332,12 @@ class RADNeRFTask(Task):
         rng_occ, rng_step = jax.random.split(rng)
         state = self._maybe_update_occ(state, rng_occ)
         dbatch = self._device_batch(batch, self._step)
-        params, opt_state, losses = self._train_step_fn(
+        # lip-phase batches are square patches emitted by the dataset when
+        # finetune_lip_flag is set; they carry an explicit marker
+        step_fn = self._train_step_fn
+        if self._train_step_lip_fn is not None and batch.get("is_lip_patch"):
+            step_fn = self._train_step_lip_fn
+        params, opt_state, losses = step_fn(
             state["params"], state["opt_state"], state["occ"], dbatch, rng_step
         )
         self._step += 1

@@ -7,5 +7,7 @@ from geneface_tpu.inference.landmark_postprocess import (  # noqa: F401
     inject_blinks,
     lle_project_lm3d,
 )
+from geneface_tpu.inference.audio2motion_infer import Audio2MotionInfer  # noqa: F401
+from geneface_tpu.inference.audio2pose_infer import Audio2PoseInfer  # noqa: F401
 from geneface_tpu.inference.postnet_infer import PostnetInfer  # noqa: F401
 from geneface_tpu.inference.radnerf_infer import RADNeRFInfer, save_mp4  # noqa: F401

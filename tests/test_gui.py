@@ -1,0 +1,101 @@
+"""Interactive viewer: orbit camera math + web GUI server round-trip."""
+
+import json
+import os
+import sys
+import urllib.request
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.make_synthetic_dataset import make_dataset  # noqa: E402
+
+from geneface_tpu.inference.gui import (  # noqa: E402
+    NeRFWebGUI,
+    OrbitCamera,
+    RealtimeRenderer,
+)
+
+
+def test_orbit_camera_math():
+    cam = OrbitCamera(64, 64, r=2.0, fovy=60.0)
+    pose = cam.pose
+    # rotation block stays orthonormal
+    RtR = pose[:3, :3].T @ pose[:3, :3]
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+    assert abs(np.linalg.norm(pose[:3, 3]) - 2.0) < 1e-5
+
+    r0 = cam.rot.copy()
+    cam.orbit(100.0, 50.0)
+    assert not np.allclose(cam.rot, r0)
+    RtR = cam.pose[:3, :3].T @ cam.pose[:3, :3]
+    np.testing.assert_allclose(RtR, np.eye(3), atol=1e-5)
+
+    cam.scale(1.0)
+    assert cam.radius < 2.0
+
+    # update_pose round-trips the pose
+    cam2 = OrbitCamera(64, 64)
+    cam2.update_pose(cam.pose)
+    np.testing.assert_allclose(cam2.pose, cam.pose, atol=1e-4)
+
+    # intrinsics <-> fovy round trip
+    cam.update_intrinsics(cam.intrinsics)
+    assert abs(cam.fovy - 60.0) < 1e-3 or cam.fovy > 0
+
+
+@pytest.fixture(scope="module")
+def tiny_infer(tmp_path_factory):
+    from geneface_tpu.inference.radnerf_infer import RADNeRFInfer
+    from geneface_tpu.tasks.radnerf import RADNeRFTask
+    from geneface_tpu.training.trainer import Trainer
+    from tests.test_radnerf_training import tiny_cfg
+
+    root = tmp_path_factory.mktemp("gui")
+    synth = str(root / "synth")
+    make_dataset(synth, n_frames=6, hw=48)
+    wd = str(root / "head")
+    cfg = tiny_cfg(synth, wd, max_updates=2, val_check_interval=4)
+    Trainer(RADNeRFTask(cfg)).fit()
+    return RADNeRFInfer(cfg, work_dir=wd, torso=False)
+
+
+def test_realtime_renderer(tiny_infer):
+    r = RealtimeRenderer(tiny_infer, target_frame_ms=1e9)  # never downscale
+    cam = OrbitCamera(tiny_infer.dataset.W, tiny_infer.dataset.H)
+    cam.update_intrinsics(tiny_infer.dataset.intrinsics)
+    cam.update_pose(np.asarray(tiny_infer.dataset.poses[0]))
+    frame = r.render(cam)
+    assert frame.dtype == np.uint8
+    assert frame.shape == (tiny_infer.dataset.H, tiny_infer.dataset.W, 3)
+
+    # forcing an impossible target drops down the resolution ladder
+    r2 = RealtimeRenderer(tiny_infer, target_frame_ms=1e-6)
+    r2.render(cam)
+    assert r2.downscale < 1.0
+    f2 = r2.render(cam)
+    assert f2.shape[0] < tiny_infer.dataset.H
+
+
+def test_web_gui_roundtrip(tiny_infer):
+    gui = NeRFWebGUI(tiny_infer, port=0)  # ephemeral port
+    httpd = gui.serve(blocking=False)
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        page = urllib.request.urlopen(f"{base}/").read()
+        assert b"geneface-tpu" in page
+
+        resp = urllib.request.urlopen(f"{base}/frame?advance=1")
+        meta = json.loads(resp.headers["x-meta"])
+        jpeg = resp.read()
+        assert jpeg[:2] == b"\xff\xd8"  # JPEG magic
+        assert meta["cond_index"] == 1 and meta["ms"] > 0
+
+        assert urllib.request.urlopen(f"{base}/orbit?dx=20&dy=5").read() == b"ok"
+        assert urllib.request.urlopen(f"{base}/zoom?d=1").read() == b"ok"
+        state = json.loads(urllib.request.urlopen(f"{base}/state").read())
+        assert state["radius"] > 0 and state["cond_index"] == 1
+    finally:
+        gui.close()

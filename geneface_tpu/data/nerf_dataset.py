@@ -17,9 +17,12 @@ import numpy as np
 from geneface_tpu.data.radnerf_dataset import get_cond_window
 from geneface_tpu.data.ray_samplers import (
     FullRaySampler,
+    TorsoUniformRaySampler,
     UniformRaySampler,
+    get_rays_nerf,
     sample_pixels,
 )
+from geneface_tpu.utils.camera import c2w_to_euler_trans
 
 __all__ = ["NeRFDataset"]
 
@@ -62,7 +65,16 @@ class NeRFDataset:
                 ]
             )
         self.sampler = UniformRaySampler(rng=self.rng)
+        self.torso_sampler = TorsoUniformRaySampler(rng=self.rng)
         self.full_sampler = FullRaySampler(cfg.get("infer_scale_factor", 1.0))
+        # head pose (euler-XYZ + translation) of the *w2c* transform, as the
+        # face tracker emits it (reference dataset_utils.py:66-71); the torso
+        # field is conditioned on it
+        all_c2w = np.stack([np.asarray(s["c2w"], np.float32) for s in self.samples])
+        w2c = np.linalg.inv(all_c2w)
+        self.eulers, self.transs = c2w_to_euler_trans(w2c)
+        self.c2w_t0 = np.asarray(self.samples[0]["c2w"], np.float32)
+        self.euler_t0, self.trans_t0 = self.eulers[0], self.transs[0]
 
     def __len__(self):
         return len(self.samples)
@@ -104,6 +116,60 @@ class NeRFDataset:
         out["gt_img"] = sample_pixels(gt, coords).astype(np.float32)
         out["bg_img"] = sample_pixels(self.bg_img, coords).astype(np.float32)
         return out
+
+    def get_torso_item(self, idx: int) -> dict:
+        """Torso-training sample (``tasks/nerfs/adnerf_torso.py:141-180``):
+        torso rays in the canonical pose (``c2w_t0``) restricted to the lower
+        image half, plus head rays at the *same pixel coords* in the current
+        pose, composite target = full ``gt_img``."""
+        cfg = self.cfg
+        s = self.samples[idx]
+        gt = np.asarray(s["gt_img"], np.float32)
+        if gt.max() > 1.5:
+            gt = gt / 255.0
+        gt = gt[..., :3]
+        c2w = np.asarray(s["c2w"], np.float32)
+
+        out = {
+            "idx": int(s.get("idx", idx)),
+            "cond": self.conds[idx : idx + 1],
+            "cond_wins": get_cond_window(
+                self.conds, idx, cfg.get("smo_win_size", 5)
+            ),
+            "euler": self.eulers[idx],
+            "trans": self.transs[idx],
+            "euler_t0": self.euler_t0,
+            "trans_t0": self.trans_t0,
+        }
+        if self.training:
+            ro, rd, coords = self.torso_sampler(
+                self.H, self.W, self.focal, self.c2w_t0,
+                n_rays=cfg.get("n_rays", 2048),
+                in_rect_percent=cfg.get("in_rect_percent", 0.95),
+                cx=self.cx, cy=self.cy,
+            )
+        else:
+            ro, rd, coords = self.full_sampler(
+                self.H, self.W, self.focal, self.c2w_t0, cx=self.cx, cy=self.cy
+            )
+        ro_h_full, rd_h_full = get_rays_nerf(
+            self.H, self.W, self.focal, c2w, cx=self.cx, cy=self.cy
+        )
+        out["rays_o"] = ro.astype(np.float32)
+        out["rays_d"] = rd.astype(np.float32)
+        out["rays_o_head"] = sample_pixels(ro_h_full, coords).astype(np.float32)
+        out["rays_d_head"] = sample_pixels(rd_h_full, coords).astype(np.float32)
+        out["gt_img"] = sample_pixels(gt, coords).astype(np.float32)
+        out["bg_img"] = sample_pixels(self.bg_img, coords).astype(np.float32)
+        return out
+
+    def iter_torso_epochs(self, start_step: int = 0, shuffle: bool = True):
+        while True:
+            order = np.arange(len(self))
+            if shuffle:
+                self.rng.shuffle(order)
+            for i in order:
+                yield self.get_torso_item(int(i))
 
     def iter_epochs(self, start_step: int = 0, shuffle: bool = True):
         while True:

@@ -120,10 +120,12 @@ class ADNeRFTorso(_CoarseFineNeRF):
 
     use_color: bool = False
     pose_multires: int = 6
+    cond_win_size: int = 16  # 16 for deepspeech windows, 1 for lm3d cond
+    smo_win_size: int = 8
 
     def _setup_cond(self):
-        self.aud_net = AudioNet(dim_aud=self.cond_dim, win_size=16)
-        self.audatt_net = AudioAttNet(in_out_dim=self.cond_dim, seq_len=8)
+        self.aud_net = AudioNet(dim_aud=self.cond_dim, win_size=self.cond_win_size)
+        self.audatt_net = AudioAttNet(in_out_dim=self.cond_dim, seq_len=self.smo_win_size)
         if self.use_color:
             self.color_encoder = [nn.Dense(16), nn.Dense(32), nn.Dense(16)]
 

@@ -46,11 +46,15 @@ __all__ = ["RADNeRFInfer", "save_mp4"]
 
 def save_mp4(frames: np.ndarray, out_path: str, fps: int = 25,
              audio_path: str | None = None) -> str:
-    """uint8 frames [T, H, W, 3] (+ audio) → mp4 (``base_nerf_infer.py:306``)."""
+    """Frames [T, H, W, 3] (uint8, or float in [0,1]) + audio → mp4
+    (``base_nerf_infer.py:306``)."""
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     tmp = out_path + ".noaudio.mp4"
     import cv2
 
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = (np.clip(frames, 0.0, 1.0) * 255).astype(np.uint8)
     h, w = frames.shape[1:3]
     vw = cv2.VideoWriter(tmp, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     for f in frames:

@@ -12,3 +12,7 @@ from geneface_tpu.utils.indexed_dataset import (  # noqa: F401
 )
 from geneface_tpu.utils.logging import MetricsLogger  # noqa: F401
 from geneface_tpu.utils.meters import AvgMeter, MeterBank, Timer  # noqa: F401
+from geneface_tpu.utils.multiprocess import (  # noqa: F401
+    MultiprocessManager,
+    multiprocess_run,
+)

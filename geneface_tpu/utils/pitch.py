@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 __all__ = ["f0_to_coarse", "coarse_to_f0", "F0_BIN"]
@@ -9,8 +11,9 @@ __all__ = ["f0_to_coarse", "coarse_to_f0", "F0_BIN"]
 F0_BIN = 256
 F0_MAX = 1100.0
 F0_MIN = 50.0
-_MEL_MIN = 1127 * jnp.log(1 + F0_MIN / 700)
-_MEL_MAX = 1127 * jnp.log(1 + F0_MAX / 700)
+# python floats, not jnp: module import must not initialize a jax backend
+_MEL_MIN = 1127 * math.log(1 + F0_MIN / 700)
+_MEL_MAX = 1127 * math.log(1 + F0_MAX / 700)
 
 
 def f0_to_coarse(f0):

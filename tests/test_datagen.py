@@ -177,3 +177,51 @@ def test_binarize_lrs3_roundtrip(tmp_path):
     assert item["hubert"].shape == (40, 1024)
     va = IndexedDataset(val_p)
     assert len(va) == 1
+
+
+# ---------------------------------------------------------------- ASR feats --
+def test_logits_to_windows_shape_and_padding():
+    import numpy as np
+    from geneface_tpu.datagen.asr_features import logits_to_windows
+
+    logits = np.arange(100 * 44, dtype=np.float32).reshape(100, 44)
+    wins = logits_to_windows(logits, win_size=16, stride=2, n_frames=50)
+    assert wins.shape == (50, 16, 44)
+    # first window starts with the 8-frame zero pad
+    assert (wins[0, :8] == 0).all()
+    assert np.allclose(wins[0, 8], logits[0])
+    # stride 2: window t starts at 2t - 8 in logit coords
+    assert np.allclose(wins[5, 0], logits[2])
+
+
+def test_logits_to_windows_trim_and_extend():
+    import numpy as np
+    from geneface_tpu.datagen.asr_features import logits_to_windows
+
+    logits = np.random.RandomState(0).randn(20, 29).astype(np.float32)
+    short = logits_to_windows(logits, n_frames=4)
+    assert short.shape == (4, 16, 29)
+    longer = logits_to_windows(logits, n_frames=40)
+    assert longer.shape == (40, 16, 29)
+    assert np.allclose(longer[-1], longer[12])  # repeated tail
+
+
+def test_mfcc_windows():
+    import numpy as np
+    from geneface_tpu.datagen._ds_audio import audio_to_mfcc_windows, mfcc
+
+    wav = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)
+    feats = mfcc(wav)
+    assert feats.shape[1] == 26 and np.isfinite(feats).all()
+    rows, T = audio_to_mfcc_windows(wav)
+    assert rows.shape == (T, 19 * 26)
+    assert abs(float(rows.mean())) < 1e-6  # utterance-normalized
+
+
+def test_deepspeech_requires_graph():
+    import numpy as np
+    import pytest
+    from geneface_tpu.datagen.asr_features import extract_deepspeech_features
+
+    with pytest.raises(RuntimeError, match="frozen graph"):
+        extract_deepspeech_features(np.zeros(16000, np.float32))

@@ -29,6 +29,11 @@ from geneface_tpu.ops import (
     march_rays_train,
     near_far_from_aabb,
 )
+from geneface_tpu.ops.compaction import (
+    compact_gather,
+    expand_to_slabs,
+    make_compact_plan,
+)
 
 __all__ = [
     "OccupancyState",
@@ -188,6 +193,7 @@ def render_rays_radnerf(
     aabb: jax.Array | None = None,
     density_scale: float = 1.0,
     field_chunks: int = 1,
+    mean_samples_per_ray: float | None = None,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -221,34 +227,66 @@ def render_rays_radnerf(
         grid_size=grid_size,
     )
     S = max_steps
-    # differentiable sample positions (grads reach rays_o/rays_d as in
-    # kernel_march_rays_train_backward:536)
-    xyz = jnp.clip(
-        rays_o[:, None, :] + march.ts[..., None] * rays_d[:, None, :],
-        -bound,
-        bound,
-    )  # [N, S, 3]
-    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
-
-    xyz_flat = xyz.reshape(-1, 3)
-    dirs_flat = dirs.reshape(-1, 3)
-    if field_chunks > 1:
-        M = xyz_flat.shape[0]
-        sigma, rgb, ambient_pos = jax.lax.map(
-            lambda args: field_fn(*args),
-            (
-                xyz_flat.reshape(field_chunks, M // field_chunks, 3),
-                dirs_flat.reshape(field_chunks, M // field_chunks, 3),
-            ),
+    sample_capacity = None
+    if mean_samples_per_ray:
+        # compact-eval capacity: budget of real samples per step, padded to a
+        # tile multiple and never beyond the full slab
+        sample_capacity = min(
+            int(-(-N * float(mean_samples_per_ray) // 1024) * 1024), N * S
         )
-        sigma = sigma.reshape(-1)
-        rgb = rgb.reshape(-1, 3)
-        ambient_pos = ambient_pos.reshape(-1, ambient_pos.shape[-1])
+    if sample_capacity is not None:
+        # ---- compacted field eval: only ~sum(n_valid) samples touch the
+        # grids/MLPs instead of all N*S padded slots (ops/compaction.py).
+        # Ray grads are stopped here (no task consumes them; the reference
+        # computes them in march_rays_train_backward:536 but discards them).
+        plan = make_compact_plan(march.valid, sample_capacity)
+        ro = jax.lax.stop_gradient(rays_o)[plan.ray]  # [Mc, 3]
+        rd = jax.lax.stop_gradient(rays_d)[plan.ray]
+        ts_c = compact_gather(plan, march.ts)  # [Mc]
+        xyz_c = jnp.clip(ro + ts_c[:, None] * rd, -bound, bound)
+        sigma_c, rgb_c, ambient_pos_c = field_fn(xyz_c, rd)
+        packed = jnp.concatenate(
+            [
+                (sigma_c * density_scale)[:, None],
+                rgb_c,
+                jnp.sum(jnp.abs(ambient_pos_c), axis=-1)[:, None],
+            ],
+            axis=-1,
+        )  # [Mc, 5]
+        slab = expand_to_slabs(plan, packed, N, S)  # [N, S, 5]
+        sigma = slab[..., 0]
+        rgb_t = jnp.moveaxis(slab[..., 1:4], -1, 0)  # [3, N, S]
+        ambient_norm = slab[..., 4]
+        # samples past capacity keep sigma=0 -> zero weight in compositing
     else:
-        sigma, rgb, ambient_pos = field_fn(xyz_flat, dirs_flat)
-    sigma = (sigma * density_scale).reshape(N, S)
-    rgb_t = rgb.T.reshape(3, N, S)  # channel-major for TPU tiling
-    ambient_norm = jnp.sum(jnp.abs(ambient_pos), axis=-1).reshape(N, S)
+        # differentiable sample positions (grads reach rays_o/rays_d as in
+        # kernel_march_rays_train_backward:536)
+        xyz = jnp.clip(
+            rays_o[:, None, :] + march.ts[..., None] * rays_d[:, None, :],
+            -bound,
+            bound,
+        )  # [N, S, 3]
+        dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+
+        xyz_flat = xyz.reshape(-1, 3)
+        dirs_flat = dirs.reshape(-1, 3)
+        if field_chunks > 1:
+            M = xyz_flat.shape[0]
+            sigma, rgb, ambient_pos = jax.lax.map(
+                lambda args: field_fn(*args),
+                (
+                    xyz_flat.reshape(field_chunks, M // field_chunks, 3),
+                    dirs_flat.reshape(field_chunks, M // field_chunks, 3),
+                ),
+            )
+            sigma = sigma.reshape(-1)
+            rgb = rgb.reshape(-1, 3)
+            ambient_pos = ambient_pos.reshape(-1, ambient_pos.shape[-1])
+        else:
+            sigma, rgb, ambient_pos = field_fn(xyz_flat, dirs_flat)
+        sigma = (sigma * density_scale).reshape(N, S)
+        rgb_t = rgb.T.reshape(3, N, S)  # channel-major for TPU tiling
+        ambient_norm = jnp.sum(jnp.abs(ambient_pos), axis=-1).reshape(N, S)
 
     comp = composite_rays(
         sigma,

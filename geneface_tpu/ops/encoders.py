@@ -642,36 +642,30 @@ def _block_level_rows(comps, bmeta, lvl):
     return base, frac, pbits, bcoords, row, row_local, scale
 
 
-def _canonical_corner_index(bmeta, lvl, base, pbits, bcoords, row_local, corner):
-    """Canonical [n_entries]-space index of corner ``corner`` for this level
-    (used by the custom backward to scatter grads into the canonical table)."""
-    meta = bmeta.base
-    D = meta.input_dim
-    K = 1 << D
-    if bmeta.modes[lvl] == "dense":
-        side = bmeta.level_sides[lvl]
-        idx, stride = None, 1
-        for d in range(D):
-            coord = base[d] + ((corner >> d) & 1)
-            contrib = coord * stride
-            idx = contrib if idx is None else idx + contrib
-            stride *= side
-        return meta.offsets[lvl] + idx
-    # block_hash: canonical entry = row_local * K + corner within the region
-    return meta.offsets[lvl] + row_local * K + corner
+def _corner_weights(frac, K, D):
+    """Trilinear corner weights → [M, K]; corner bit d selects frac vs 1-frac."""
+    w = None
+    for d in range(D):
+        kd = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> d) & 1
+        fd = frac[d][:, None]
+        wd = jnp.where(kd == 1, fd, 1.0 - fd)
+        w = wd if w is None else w * wd
+    return w
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def fast_grid_encode(inputs, embeddings, bmeta):
-    """Block-layout grid encode with a scalar-scatter backward.
+    """Block-layout grid encode with a per-level local-table scatter backward.
 
     Forward = ``build_block_tables`` + ``block_grid_encode`` (one wide
-    row-gather per level — fast on TPU). The naive autodiff backward of a
-    row gather is a row *scatter*, which XLA TPU executes ~25x slower than
-    scalar scatters (measured 838 ms vs ~free for a fused [1M,16] update);
-    this custom VJP instead scatters per-(corner, channel) scalars into the
-    canonical table — the same formulation as the reference CUDA backward
-    (``gridencoder.cu:248-341``), which XLA fuses efficiently.
+    row-gather per level — fast on TPU). The backward replaces naive
+    autodiff's per-level scatter into the FULL fast table (R≈170k rows,
+    ~17 ms each on v5e — XLA scatter cost grows with table size) with a
+    scatter into each level's LOCAL table (R≤~40k, 6.5-17 ms), then maps the
+    fast-table cotangent back to the canonical ``[n_entries, C]`` parameters
+    through the linear transpose of ``build_block_tables`` (pure
+    pad/slice/reshape adjoints — bandwidth-bound). Accumulation semantics
+    match the reference CUDA backward (``gridencoder.cu:248-341``).
     """
     tables = build_block_tables(embeddings, bmeta)
     return block_grid_encode(inputs, tables, bmeta)
@@ -680,11 +674,13 @@ def fast_grid_encode(inputs, embeddings, bmeta):
 def _fge_fwd(inputs, embeddings, bmeta):
     tables = build_block_tables(embeddings, bmeta)
     out = block_grid_encode(inputs, tables, bmeta)
-    return out, (inputs, tables, embeddings.shape)
+    return out, (inputs, tables, jax.ShapeDtypeStruct(embeddings.shape, embeddings.dtype))
 
 
 def _fge_bwd(bmeta, res, g):
-    inputs, tables, emb_shape = res
+    from geneface_tpu.ops.scatter import scatter_add_rows
+
+    inputs, tables, emb_spec = res
     meta = bmeta.base
     D = meta.input_dim
     C = meta.level_dim
@@ -696,58 +692,61 @@ def _fge_bwd(bmeta, res, g):
     for c in comps_raw:
         oob = oob | (c < 0.0) | (c > 1.0)
     comps = [jnp.clip(c, 0.0, 1.0) for c in comps_raw]
-    g2 = g.reshape(-1, meta.num_levels * C)
+    g2 = g.reshape(-1, meta.num_levels * C).astype(jnp.float32)
     g2 = jnp.where(oob[:, None], 0.0, g2)
 
-    grad_emb = jnp.zeros((emb_shape[0] * emb_shape[1],), jnp.float32)
     grad_in_comps = [jnp.zeros_like(comps[0]) for _ in range(D)]
-    log2_s = math.log2(meta.per_level_scale)
+    gtab_parts = []  # per-level [rows_lvl, K*C] cotangents of the fast table
 
     for lvl in range(meta.num_levels):
         base, frac, pbits, bcoords, row, row_local, scale = _block_level_rows(
             comps, bmeta, lvl
         )
         g_lvl = g2[:, lvl * C : (lvl + 1) * C]  # [M, C]
-        rows_v = tables[row].astype(jnp.float32).reshape(-1, K, C)  # for dx
-        for corner in range(K):
-            w = None
-            for d in range(D):
-                kd = (corner >> d) & 1
-                wd = frac[d] if kd == 1 else (1.0 - frac[d])
-                w = wd if w is None else w * wd
-            canon = _canonical_corner_index(
-                bmeta, lvl, base, pbits, bcoords, row_local, corner
-            )
-            for ch in range(C):
-                grad_emb = grad_emb.at[canon * C + ch].add(w * g_lvl[:, ch])
-        # input grads: dy/dfrac_d = sum_corners (+-prod_{d'!=d} w_d') * v
+        w = _corner_weights(frac, K, D)  # [M, K]
+
+        # ---- table grads: one local-table row scatter per level ----
+        rows_lvl = bmeta.row_offsets[lvl + 1] - bmeta.row_offsets[lvl]
+        local_row = row - bmeta.row_offsets[lvl]
+        upd = (w[:, :, None] * g_lvl[:, None, :]).reshape(-1, K * C)
+        gtab_parts.append(scatter_add_rows(local_row, upd, rows_lvl))
+
+        # ---- input grads: dy/dfrac_d = sum_k (±prod_{d'≠d} w_d') * v_k·g ----
+        rows_v = tables[row].astype(jnp.float32).reshape(-1, K, C)
         vg = jnp.einsum("mkc,mc->mk", rows_v, g_lvl)  # [M, K]
         for d in range(D):
-            dw = None
-            for corner in range(K):
-                wpartial = None
-                for dd in range(D):
-                    if dd == d:
-                        continue
-                    kd = (corner >> dd) & 1
-                    wd = frac[dd] if kd == 1 else (1.0 - frac[dd])
-                    wpartial = wd if wpartial is None else wpartial * wd
-                sign = 1.0 if ((corner >> d) & 1) == 1 else -1.0
-                term = sign * (wpartial if wpartial is not None else 1.0) * vg[:, corner]
-                dw = term if dw is None else dw + term
-            # d frac/d x = scale (x2 smoothstep deriv applied below)
+            kd = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> d) & 1
+            sign = jnp.where(kd == 1, 1.0, -1.0)
+            wpartial = None
+            for dd in range(D):
+                if dd == d:
+                    continue
+                kdd = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> dd) & 1
+                fdd = frac[dd][:, None]
+                wdd = jnp.where(kdd == 1, fdd, 1.0 - fdd)
+                wpartial = wdd if wpartial is None else wpartial * wdd
+            terms = sign * (wpartial if wpartial is not None else 1.0) * vg
+            dw = jnp.sum(terms, axis=-1)
             if meta.interpolation == "smoothstep":
                 # frac was smoothstepped; d smooth/d raw = 6 f (1-f) on the
                 # raw fraction — recompute raw fraction
                 pos = comps[d] * scale + (0.0 if meta.align_corners else 0.5)
                 raw_f = pos - jnp.floor(pos)
-                dsm = 6.0 * raw_f * (1.0 - raw_f)
-                dw = dw * dsm
+                dw = dw * (6.0 * raw_f * (1.0 - raw_f))
             grad_in_comps[d] = grad_in_comps[d] + dw * scale
+
+    # fast-table cotangent -> canonical params via the linear transpose of
+    # build_block_tables (slicing/stack/transpose adjoints; f32 throughout)
+    gtab = jnp.concatenate(gtab_parts, axis=0)
+    transpose_fn = jax.linear_transpose(
+        lambda e: build_block_tables(e, bmeta, dtype=jnp.float32),
+        jax.ShapeDtypeStruct(emb_spec.shape, jnp.float32),
+    )
+    (grad_emb,) = transpose_fn(gtab)
 
     grad_in = jnp.stack(grad_in_comps, axis=-1)
     grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
-    return grad_in, grad_emb.reshape(emb_shape)
+    return grad_in, grad_emb.astype(emb_spec.dtype)
 
 
 fast_grid_encode.defvjp(_fge_fwd, _fge_bwd)

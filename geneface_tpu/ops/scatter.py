@@ -1,0 +1,44 @@
+"""Row scatter-add: the bottleneck primitive of grid-encoder backward.
+
+Measured on TPU v5e via the on-device loop harness (``tools/tpu_timeit.py``,
+``tools/bench_scatter7.py``) at M=1M update rows, W=16:
+
+=============  ========  =========================================
+strategy       R=8192    notes
+=============  ========  =========================================
+XLA scatter     6.5 ms   grows to ~17 ms at R>=39k (per-update cost
+                         6-16 ns; serialized read-modify-write)
+one-hot matmul  7.4 ms   cost ∝ R (2·M·R·W FLOPs); loses above 8k
+sort+segsum    17-28 ms  argsort-dominated
+row gather      1.9 ms   (for scale: the forward's cost)
+=============  ========  =========================================
+
+The grid backward needs one such scatter **per level** (16 levels × 2 grids
+per field eval), so this primitive sets the training-step floor. The XLA
+scatter is the current backend; a Pallas MXU kernel (one-hot generated
+in-register, accumulated on the MXU — no HBM one-hot traffic) is the
+planned replacement for capped-R tables.
+
+Reference semantics equivalent: the atomicAdd accumulation in
+``gridencoder/src/gridencoder.cu:248-341``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["scatter_add_rows"]
+
+
+def scatter_add_rows(
+    rows: jax.Array,  # [M] int32 destination row per update (OOB -> dropped)
+    updates: jax.Array,  # [M, W] float
+    n_rows: int,
+) -> jax.Array:
+    """``out[r] = sum_{i: rows[i]==r} updates[i]`` → [n_rows, W] f32."""
+    return (
+        jnp.zeros((n_rows, updates.shape[-1]), jnp.float32)
+        .at[rows]
+        .add(updates.astype(jnp.float32), mode="drop")
+    )

@@ -152,6 +152,8 @@ class RADNeRFTask(Task):
             dt_gamma=float(cfg.get("dt_gamma", 1.0 / 256)),
             max_steps=int(cfg.get("max_steps", 16)),
             grid_size=self.grid_size,
+            # compacted field eval (ops/compaction.py); 0 disables
+            mean_samples_per_ray=float(cfg.get("mean_samples_per_ray", 8)),
         )
 
     def _expand_light_batch(self, batch):

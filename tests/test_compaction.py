@@ -1,0 +1,128 @@
+"""Sample compaction (ops/compaction.py) must be exact: with sufficient
+capacity the compacted render path reproduces the padded path bit-for-bit
+(same field evals in a different order), and with tight capacity it degrades
+only by dropping tail samples."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geneface_tpu.ops.compaction import (
+    compact_gather,
+    expand_to_slabs,
+    make_compact_plan,
+)
+
+
+def _random_valid(rng, n, s):
+    counts = rng.integers(0, s + 1, size=n)
+    return np.arange(s)[None, :] < counts[:, None], counts
+
+
+def test_plan_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    N, S = 64, 16
+    valid, counts = _random_valid(rng, N, S)
+    slab = np.where(valid, rng.normal(size=(N, S)), 0.0).astype(np.float32)
+    cap = int(counts.sum()) + 5
+    plan = make_compact_plan(jnp.asarray(valid), cap)
+    assert int(plan.total) == counts.sum()
+
+    compact = compact_gather(plan, jnp.asarray(slab))
+    back = expand_to_slabs(plan, compact[:, None], N, S)[..., 0]
+    np.testing.assert_array_equal(np.asarray(back), slab)
+
+
+def test_plan_handles_zero_length_rays():
+    valid = jnp.zeros((8, 4), bool).at[3, :2].set(True).at[6, :3].set(True)
+    plan = make_compact_plan(valid, 16)
+    ray = np.asarray(plan.ray)
+    assert int(plan.total) == 5
+    assert list(ray[:5]) == [3, 3, 6, 6, 6]
+
+
+def test_capacity_overflow_drops_tail_only():
+    rng = np.random.default_rng(1)
+    N, S = 32, 8
+    valid, counts = _random_valid(rng, N, S)
+    total = int(counts.sum())
+    cap = max(total - 7, 8)
+    slab = np.where(valid, rng.normal(size=(N, S)), 0.0).astype(np.float32)
+    plan = make_compact_plan(jnp.asarray(valid), cap)
+    compact = compact_gather(plan, jnp.asarray(slab))
+    back = np.asarray(expand_to_slabs(plan, compact[:, None], N, S)[..., 0])
+    # the first `cap` samples in ray-major order survive; the rest are zero
+    flat_order = [
+        (i, k) for i in range(N) for k in range(int(counts[i]))
+    ]
+    kept = set(flat_order[:cap])
+    for i in range(N):
+        for k in range(S):
+            expect = slab[i, k] if (i, k) in kept else 0.0
+            assert back[i, k] == expect
+
+
+def test_compacted_render_matches_padded():
+    from geneface_tpu.models.radnerf.renderer import (
+        OccupancyState,
+        render_rays_radnerf,
+    )
+
+    rng = np.random.default_rng(2)
+    N, S, H = 128, 16, 32
+    occ_grid = jnp.asarray(rng.random((1, H, H, H)) < 0.3)
+    occ = OccupancyState(
+        density_grid=jnp.zeros((1, H**3)),
+        occ_grid=occ_grid,
+        mean_density=jnp.zeros(()),
+    )
+    rays_o = jnp.asarray(
+        rng.normal(size=(N, 3)) * 0.1 + np.array([0, 0, 2.0]), jnp.float32
+    )
+    d = -rays_o + rng.normal(size=(N, 3)) * 0.05
+    rays_d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+    w = jnp.asarray(rng.normal(size=(3, 8)) * 0.3, jnp.float32)
+
+    def make_field(w):
+        def field_fn(xyz, dirs):
+            h = jnp.tanh(xyz @ w)
+            sigma = jax.nn.softplus(h[..., 0] * 3.0)
+            rgb = jax.nn.sigmoid(h[..., 1:4])
+            ambient = jnp.tanh(h[..., 4:6])
+            return sigma, rgb, ambient
+
+        return field_fn
+
+    kwargs = dict(
+        bound=1.0, min_near=0.05, dt_gamma=0.0, max_steps=S, grid_size=H,
+        bg_color=0.5,
+    )
+
+    def render_loss(w, mspr):
+        out = render_rays_radnerf(
+            make_field(w), rays_o, rays_d, occ,
+            mean_samples_per_ray=mspr, **kwargs,
+        )
+        loss = jnp.mean(out["rgb_map"]) + jnp.mean(out["ambient_sum"])
+        return loss, out
+
+    (l_pad, out_pad), g_pad = jax.value_and_grad(render_loss, has_aux=True)(
+        w, None
+    )
+    (l_cmp, out_cmp), g_cmp = jax.value_and_grad(render_loss, has_aux=True)(
+        w, float(S)  # capacity == full slab: nothing can drop
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cmp["rgb_map"]), np.asarray(out_pad["rgb_map"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cmp["ambient_sum"]), np.asarray(out_pad["ambient_sum"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(float(l_cmp), float(l_pad), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_cmp), np.asarray(g_pad), rtol=1e-5, atol=1e-6
+    )

@@ -146,7 +146,7 @@ def main():
 
     # occupancy update
     cond0 = ebatch["cond_wins"]
-    t = timeit(task._occ_update_fn, params, occ, cond0, rng)
+    t = timeit(lambda p, o, c, r: task._occ_update_fn(p, jax.tree.map(jnp.array, o), c, r), params, occ, cond0, rng)
     print(f"occ update:       {t*1e3:8.2f} ms (every 16 steps)")
 
 

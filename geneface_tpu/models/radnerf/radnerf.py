@@ -57,6 +57,15 @@ class RADNeRF(nn.Module):
     grid_interpolation_type: str = "linear"
     log2_hashmap_size: int = 16
     desired_resolution: int = 2048
+    # TPU-tuned level geometry. Measured (tools/bench_scatter_w.py, v5e):
+    # table gather ~1.7 ns/ROW and scatter-add ~6.5 ns/ROW, both independent
+    # of row width 8..128 — index count, not bytes, is the cost. Fewer,
+    # wider levels therefore divide the grid's gather/scatter cost at equal
+    # parameter count and equal total feature width (instant-ngp tab. 2
+    # shows L*C is what matters for quality). Reference geometry
+    # (gridencoder defaults L=16, C=2) is available via config.
+    grid_num_levels: int = 8
+    grid_level_dim: int = 4
     num_layers_ambient: int = 3
     hidden_dim_ambient: int = 128
     ambient_out_dim: int = 2
@@ -76,22 +85,30 @@ class RADNeRF(nn.Module):
 
     def setup(self):
         gridtype = {"tiledgrid": "tiled", "hashgrid": "hash"}[self.grid_type]
+        # equal parameter budget across geometries: reference L=16/C=2 uses
+        # sum(min(2^h, side^D))*2 params; with level_dim C the hashmap cap is
+        # scaled so capped levels hold the same bytes
+        import math as _math
+
+        cap = self.log2_hashmap_size - int(
+            round(_math.log2(self.grid_level_dim / 2))
+        )
         self.pos_grid_meta = make_grid_meta(
             input_dim=3,
-            num_levels=16,
-            level_dim=2,
+            num_levels=self.grid_num_levels,
+            level_dim=self.grid_level_dim,
             base_resolution=16,
-            log2_hashmap_size=self.log2_hashmap_size,
+            log2_hashmap_size=cap,
             desired_resolution=int(self.desired_resolution * self.bound),
             gridtype=gridtype,
             interpolation=self.grid_interpolation_type,
         )
         self.ambient_grid_meta = make_grid_meta(
             input_dim=self.ambient_out_dim,
-            num_levels=16,
-            level_dim=2,
+            num_levels=self.grid_num_levels,
+            level_dim=self.grid_level_dim,
             base_resolution=16,
-            log2_hashmap_size=self.log2_hashmap_size,
+            log2_hashmap_size=cap,
             desired_resolution=self.desired_resolution,
             gridtype=gridtype,
             interpolation=self.grid_interpolation_type,

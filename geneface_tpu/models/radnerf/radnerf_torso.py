@@ -34,12 +34,15 @@ class RADNeRFTorso(RADNeRF):
 
     def setup(self):
         super().setup()
+        import math as _math
+
         self.torso_grid_meta = make_grid_meta(
             input_dim=2,
-            num_levels=16,
-            level_dim=2,
+            num_levels=self.grid_num_levels,
+            level_dim=self.grid_level_dim,
             base_resolution=16,
-            log2_hashmap_size=16,
+            log2_hashmap_size=16
+            - int(round(_math.log2(self.grid_level_dim / 2))),
             desired_resolution=2048,
             gridtype="tiled",
         )

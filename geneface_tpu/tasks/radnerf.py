@@ -55,6 +55,8 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         grid_interpolation_type=cfg.get("grid_interpolation_type", "linear"),
         log2_hashmap_size=cfg.get("log2_hashmap_size", 16),
         desired_resolution=cfg.get("desired_resolution", 2048),
+        grid_num_levels=cfg.get("grid_num_levels", 8),
+        grid_level_dim=cfg.get("grid_level_dim", 4),
         num_layers_ambient=cfg.get("num_layers_ambient", 3),
         hidden_dim_ambient=cfg.get("hidden_dim_ambient", 128),
         ambient_out_dim=cfg.get("ambient_out_dim", 2),

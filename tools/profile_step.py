@@ -1,7 +1,8 @@
 """Decompose RAD-NeRF train-step time on the real chip.
 
-Times each stage of the hot path in isolation: march, field eval (grid +
-MLPs), composite, full forward, forward+backward, full train step.
+Times each stage of the hot path in isolation using the on-device loop
+harness (``tools/tpu_timeit.py`` — per-call ``block_until_ready`` timings
+through the TPU tunnel carry a ~28 ms roundtrip and are unreliable).
 """
 
 import os
@@ -10,6 +11,7 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -17,17 +19,7 @@ import jax.numpy as jnp
 from geneface_tpu.config import Config
 from geneface_tpu.tasks.radnerf import RADNeRFTask
 from tools.make_synthetic_dataset import make_dataset
-
-
-def timeit(fn, *args, n=10, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(n):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    return (time.time() - t0) / n
+from tools.tpu_timeit import device_time
 
 
 def main():
@@ -47,13 +39,13 @@ def main():
         near=0.3, far=0.9, min_near=0.05, lr=5e-4, scheduler="exponential",
         finetune_lips=False, lambda_weights_entropy=1e-4, lambda_ambient=0.1,
         seed=0,
+        mean_samples_per_ray=float(os.environ.get("GF_MEAN_SPR", 8)),
     )
     task = RADNeRFTask(cfg)
     state = task.build()
     rng = jax.random.PRNGKey(0)
     batches = task.train_batches(0)
     batch = next(batches)
-    # run a couple of real steps to populate the occupancy grid
     for _ in range(2):
         rng, k = jax.random.split(rng)
         state, losses = task.train_step(state, next(batches), k)
@@ -63,10 +55,8 @@ def main():
     dbatch = task._device_batch(batch, 2)
     model = task.model
 
-    frac = float(jnp.mean(occ.occ_grid))
-    print(f"occ fraction: {frac:.4f}")
+    print(f"occ fraction: {float(jnp.mean(occ.occ_grid)):.4f}", flush=True)
 
-    # ---- expand batch once (outside timing)
     ebatch = jax.jit(lambda b: task._expand_light_batch(b))(dbatch)
     rays_o, rays_d = ebatch["rays_o"], ebatch["rays_d"]
 
@@ -75,79 +65,107 @@ def main():
 
     aabb = make_aabb(1.0)
 
-    @jax.jit
-    def stage_march(rays_o, rays_d, occ_grid, rng):
-        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
-        noises = jax.random.uniform(rng, (rays_o.shape[0],))
+    def stage_march(i, rays_o, rays_d, occ_grid):
+        ro = rays_o * (1.0 + i.astype(jnp.float32) * 1e-12)
+        nears, fars = near_far_from_aabb(ro, rays_d, aabb, 0.05)
+        noises = jnp.zeros((ro.shape[0],))
         return march_rays_train(
-            rays_o, rays_d, occ_grid, nears, fars, noises,
+            ro, rays_d, occ_grid, nears, fars, noises,
             bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1,
             grid_size=128,
         )
-    t = timeit(stage_march, rays_o, rays_d, occ.occ_grid, rng)
-    print(f"march:            {t*1e3:8.2f} ms")
-    march = stage_march(rays_o, rays_d, occ.occ_grid, rng)
-    print("  mean samples/ray:", float(march.valid.sum() / n_rays))
+    t = device_time(stage_march, rays_o, rays_d, occ.occ_grid, iters=5)
+    print(f"march:            {t*1e3:8.2f} ms", flush=True)
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
+    march = jax.jit(lambda: march_rays_train(
+        rays_o, rays_d, occ.occ_grid, nears, fars, jnp.zeros((n_rays,)),
+        bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1, grid_size=128,
+    ))()
+    print("  mean samples/ray:", float(march.valid.sum() / n_rays), flush=True)
 
     cond_feat = model.apply(params, ebatch["cond_wins"], method=model.cal_cond_feat)
     ind = params["params"]["individual_embeddings"][0]
-    M = n_rays * 16
+    spr = float(cfg.get("mean_samples_per_ray", 8))
+    M = int(n_rays * spr) if spr else n_rays * 16
     xyz = jax.random.uniform(jax.random.PRNGKey(1), (M, 3), minval=-0.5, maxval=0.5)
     dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (M, 1))
 
-    @jax.jit
-    def stage_field(params, xyz, dirs, cond_feat, ind):
-        return model.apply(params, xyz, dirs, cond_feat, ind)
-    t = timeit(stage_field, params, xyz, dirs, cond_feat, ind)
-    print(f"field fwd (1M):   {t*1e3:8.2f} ms")
+    def stage_field(i, params, xyz, dirs, cond_feat, ind):
+        x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
+        return model.apply(params, x, dirs, cond_feat, ind)
+    t = device_time(stage_field, params, xyz, dirs, cond_feat, ind, iters=5)
+    print(f"field fwd ({M//1000}k): {t*1e3:8.2f} ms", flush=True)
 
-    @jax.jit
-    def stage_field_bwd(params, xyz, dirs, cond_feat, ind):
+    def stage_field_bwd(i, params, xyz, dirs, cond_feat, ind):
+        x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
         def loss(p):
-            s, rgb, amb = model.apply(p, xyz, dirs, cond_feat, ind)
+            s, rgb, amb = model.apply(p, x, dirs, cond_feat, ind)
             return jnp.sum(s) + jnp.sum(rgb) + jnp.sum(amb)
         return jax.grad(loss)(params)
-    t = timeit(stage_field_bwd, params, xyz, dirs, cond_feat, ind)
-    print(f"field fwd+bwd:    {t*1e3:8.2f} ms")
+    t = device_time(stage_field_bwd, params, xyz, dirs, cond_feat, ind, iters=5)
+    print(f"field fwd+bwd:    {t*1e3:8.2f} ms", flush=True)
 
-    # composite
+    def stage_comp(i, sig, rgbs):
+        s = sig * (1.0 + i.astype(jnp.float32) * 1e-12)
+        return composite_rays(s, rgbs, march.dts, march.depth_ts, march.valid)
     sig = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, 16))
     rgbs = jax.random.uniform(jax.random.PRNGKey(3), (3, n_rays, 16))
-    t = timeit(jax.jit(composite_rays), sig, rgbs, march.dts, march.depth_ts, march.valid)
-    print(f"composite:        {t*1e3:8.2f} ms")
+    t = device_time(stage_comp, sig, rgbs, iters=5)
+    print(f"composite:        {t*1e3:8.2f} ms", flush=True)
 
-    # full loss fwd
-    @jax.jit
-    def stage_loss(params, occ, batch, rng):
-        return task._loss_fn(params, occ, batch, rng, train=True)
-    t = timeit(stage_loss, params, occ, dbatch, rng)
-    print(f"loss fwd:         {t*1e3:8.2f} ms")
+    def _perturbed(i):
+        # perturb a real input so XLA cannot hoist the body out of the
+        # timing loop (pose feeds rays -> march -> field -> everything)
+        b = dict(dbatch)
+        b["pose_matrix"] = b["pose_matrix"] * (1.0 + i.astype(jnp.float32) * 1e-12)
+        return b
 
-    @jax.jit
-    def stage_grad(params, occ, batch, rng):
-        return jax.grad(lambda p: task._loss_fn(p, occ, batch, rng, train=True)[0])(params)
-    t = timeit(stage_grad, params, occ, dbatch, rng)
-    print(f"loss fwd+bwd:     {t*1e3:8.2f} ms")
+    def stage_loss(i, params, occ, rng):
+        return task._loss_fn(params, occ, _perturbed(i), rng, train=True)[0]
+    t = device_time(stage_loss, params, occ, rng, iters=5)
+    print(f"loss fwd:         {t*1e3:8.2f} ms", flush=True)
 
-    # full train step (no donation for timing reuse)
+    def stage_grad(i, params, occ, rng):
+        return jax.grad(
+            lambda p: task._loss_fn(p, occ, _perturbed(i), rng, train=True)[0]
+        )(params)
+    t = device_time(stage_grad, params, occ, rng, iters=5)
+    print(f"loss fwd+bwd:     {t*1e3:8.2f} ms", flush=True)
+
+    # full train step: chain N donated steps, block once at the end
+    def stage_occ(i, params, occ_dg, occ_og, occ_md, cond0, rng):
+        from geneface_tpu.models.radnerf.renderer import OccupancyState
+        o = OccupancyState(occ_dg * (1.0 + i.astype(jnp.float32) * 1e-12), occ_og, occ_md)
+        return task._occ_update_fn(params, o, cond0, rng)
+    t = device_time(
+        stage_occ, params, occ.density_grid, occ.occ_grid, occ.mean_density,
+        ebatch["cond_wins"], rng, iters=3,
+    )
+    print(f"occ update:       {t*1e3:8.2f} ms (every 16 steps)", flush=True)
+
+    # full train step: chain N donated steps, block once at the end.
+    # NOTE: donates params/opt_state — run last.
     def full(state, batch, rng):
         return task._train_step_fn(
             state["params"], state["opt_state"], state["occ"], batch, rng
         )
-    # donation prevents reuse; rebuild args each call — time loosely
-    t0 = time.time()
-    n = 10
-    st = {k: state[k] for k in state}
-    for i in range(n):
-        p, o, losses = full({"params": st["params"], "opt_state": st["opt_state"], "occ": occ}, dbatch, rng)
-        st = {"params": p, "opt_state": o, "occ": occ}
+    p, o, losses = full(
+        {"params": state["params"], "opt_state": state["opt_state"], "occ": occ},
+        dbatch, rng,
+    )
     jax.block_until_ready(losses["total_loss"])
-    print(f"train step:       {(time.time()-t0)/n*1e3:8.2f} ms")
-
-    # occupancy update
-    cond0 = ebatch["cond_wins"]
-    t = timeit(lambda p, o, c, r: task._occ_update_fn(p, jax.tree.map(jnp.array, o), c, r), params, occ, cond0, rng)
-    print(f"occ update:       {t*1e3:8.2f} ms (every 16 steps)")
+    n = 20
+    t0 = time.time()
+    for _ in range(n):
+        p, o, losses = full({"params": p, "opt_state": o, "occ": occ}, dbatch, rng)
+    jax.block_until_ready(losses["total_loss"])
+    print(f"train step:       {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
+    # same but with a single pre-staged device batch (isolates per-step H2D)
+    t0 = time.time()
+    for _ in range(n):
+        p, o, losses = full({"params": p, "opt_state": o, "occ": occ}, dbatch, rng)
+    jax.block_until_ready(losses["total_loss"])
+    print(f"train step (hot): {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,8 +31,9 @@ from geneface_tpu.ops import (
 )
 from geneface_tpu.ops.compaction import (
     compact_gather,
-    expand_to_slabs,
     make_compact_plan,
+    segment_sums,
+    segmented_cumsum,
 )
 
 __all__ = [
@@ -235,29 +236,70 @@ def render_rays_radnerf(
             int(-(-N * float(mean_samples_per_ray) // 1024) * 1024), N * S
         )
     if sample_capacity is not None:
-        # ---- compacted field eval: only ~sum(n_valid) samples touch the
-        # grids/MLPs instead of all N*S padded slots (ops/compaction.py).
+        # ---- compacted path: field eval AND compositing on the ~sum(n)
+        # valid samples only; never returns to [N, S] slabs. Per-ray
+        # transmittance prefixes and output sums use segmented scans —
+        # scatter-free, exact per segment (ops/compaction.py).
         # Ray grads are stopped here (no task consumes them; the reference
         # computes them in march_rays_train_backward:536 but discards them).
         plan = make_compact_plan(march.valid, sample_capacity)
-        ro = jax.lax.stop_gradient(rays_o)[plan.ray]  # [Mc, 3]
-        rd = jax.lax.stop_gradient(rays_d)[plan.ray]
-        ts_c = compact_gather(plan, march.ts)  # [Mc]
-        xyz_c = jnp.clip(ro + ts_c[:, None] * rd, -bound, bound)
-        sigma_c, rgb_c, ambient_pos_c = field_fn(xyz_c, rd)
-        packed = jnp.concatenate(
+        # ONE [Mc]-row record gather for everything per-sample: positions and
+        # directions are materialized on the padded slab first (cheap
+        # elementwise) so no per-ray gathers remain — gathers cost per
+        # INDEX, so one wide record beats several narrow ones.
+        ro_b = jax.lax.stop_gradient(rays_o)[:, None, :]
+        rd_b = jax.lax.stop_gradient(rays_d)[:, None, :]
+        xyz_slab = ro_b + march.ts[..., None] * rd_b  # [N, S, 3]
+        rec = jnp.concatenate(
             [
-                (sigma_c * density_scale)[:, None],
-                rgb_c,
-                jnp.sum(jnp.abs(ambient_pos_c), axis=-1)[:, None],
+                march.dts[..., None],
+                march.depth_ts[..., None],
+                xyz_slab,
+                jnp.broadcast_to(rd_b, xyz_slab.shape),
             ],
             axis=-1,
-        )  # [Mc, 5]
-        slab = expand_to_slabs(plan, packed, N, S)  # [N, S, 5]
-        sigma = slab[..., 0]
-        rgb_t = jnp.moveaxis(slab[..., 1:4], -1, 0)  # [3, N, S]
-        ambient_norm = slab[..., 4]
-        # samples past capacity keep sigma=0 -> zero weight in compositing
+        )  # [N, S, 8]
+        rec_c = compact_gather(plan, rec)  # [Mc, 8]
+        dt_c, dep_c = rec_c[:, 0], rec_c[:, 1]
+        xyz_c = jnp.clip(rec_c[:, 2:5], -bound, bound)
+        rd = rec_c[:, 5:8]
+        sigma_c, rgb_c, ambient_pos_c = field_fn(xyz_c, rd)
+        sigma_c = sigma_c * density_scale
+        amb_c = jnp.sum(jnp.abs(ambient_pos_c), axis=-1)
+
+        # front-to-back compositing in compact space (semantics of
+        # ops/raymarch.py composite_rays / raymarching.cu:604-690)
+        sd = jnp.where(plan.valid, sigma_c * dt_c, 0.0)
+        pref = segmented_cumsum(sd, plan.is_start)  # within-ray inclusive
+        T_before = jnp.exp(-(pref - sd))
+        alpha = 1.0 - jnp.exp(-sd)
+        include = jax.lax.stop_gradient(T_before >= T_thresh) & plan.valid
+        w = jnp.where(include, alpha * T_before, 0.0)
+        packed = jnp.concatenate(
+            [
+                w[:, None],
+                w[:, None] * rgb_c,
+                (w * dep_c)[:, None],
+                jnp.where(include, amb_c, 0.0)[:, None],
+            ],
+            axis=-1,
+        )  # [Mc, 6]
+        sums = segment_sums(plan, packed)  # [N, 6]
+        weights_sum = sums[:, 0]
+        image = sums[:, 1:4] + (1.0 - weights_sum)[:, None] * bg_color
+        image = jnp.clip(image, 0.0, 1.0)
+        span = jnp.maximum(fars - nears, 1e-6)
+        depth = jnp.where(
+            nears < 1e30, jnp.clip(sums[:, 4] - nears, 0.0) / span, 0.0
+        )
+        return {
+            "rgb_map": image,
+            "depth_map": depth,
+            "weights_sum": weights_sum,
+            "ambient_sum": sums[:, 5],
+            "weights": None,
+            "n_samples": plan.n,
+        }
     else:
         # differentiable sample positions (grads reach rays_o/rays_d as in
         # kernel_march_rays_train_backward:536)

@@ -6,21 +6,23 @@ encoders + MLPs, the dominant cost) then runs on all ``N*S`` positions even
 though only ``mean_occupancy`` of them are real. The reference CUDA marcher
 compacts with atomicAdd counters (``raymarching.cu:446-457``); TPU has no
 atomics, but march samples are *prefix-contiguous per ray* (slot k of ray i
-is valid iff ``k < n_i``), so compaction is exact with cumsum + gather:
+is valid iff ``k < n_i``), so compaction is exact with cumsum + gather.
 
-  offset = exclusive_cumsum(n)                  # [N] segment starts
-  ray(j) = cumsum(ones scattered at offsets)-1  # [Mc] ray of compact slot j
-  src(j) = ray(j)*S + (j - offset[ray(j)])      # padded slot it came from
+Cost model that shaped this module (measured, v5e):
+- [M]-row gathers from [R, W] tables: ~1.7 ns/row (W up to 128 free);
+- 1-D element gathers: ~7 ns/element — 4x worse, avoid on [Mc] axes;
+- scatter-add: ~6.5 ns/row — never on the sample axis.
 
-``Mc`` (capacity) is static; slots past the true total are masked invalid,
-and if ``sum(n) > Mc`` the tail rays lose samples (callers size Mc with
-headroom, as the reference sizes its buffers by the running mean count,
-``renderer.py:98-101,302``).
+Hence all per-slot segment data (ray id, segment start offset, any per-ray
+broadcast) is produced by ONE small scatter of per-ray deltas at segment
+starts followed by a cumsum — the "marker trick" — instead of [Mc]-sized
+gathers. Per-ray reductions go through padded cumsum + two [N]-row gathers
+at segment boundaries instead of a scatter.
 
-Gradient path: ``compact``'s gathers are on non-differentiated index data;
-``expand_to_slabs`` is a unique-index scatter whose VJP is a gather — both
-TPU-cheap (the expensive direction, scatter-add with collisions, never
-appears).
+Gradient path: the only scatter is the non-differentiated marker build;
+segment sums/broadcasts are cumsum+gather whose VJPs are cumsum+scatter of
+[N] rows (cheap). The expensive direction — a scatter-add over the sample
+axis — never appears in forward or backward.
 """
 
 from __future__ import annotations
@@ -30,7 +32,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CompactPlan", "make_compact_plan", "compact_gather", "expand_to_slabs"]
+__all__ = [
+    "CompactPlan",
+    "make_compact_plan",
+    "compact_gather",
+    "expand_to_slabs",
+    "segment_broadcast",
+    "segmented_cumsum",
+    "segment_sums",
+]
 
 
 class CompactPlan(NamedTuple):
@@ -38,6 +48,9 @@ class CompactPlan(NamedTuple):
     src: jax.Array  # [Mc] int32 flat (ray*S + slot) source index into slabs
     valid: jax.Array  # [Mc] bool: slot holds a real sample
     total: jax.Array  # [] int32 number of real samples (may exceed Mc)
+    offset: jax.Array  # [N] int32 exclusive-cumsum segment starts
+    n: jax.Array  # [N] int32 samples per ray
+    is_start: jax.Array  # [Mc] bool: slot is the first of its segment
 
 
 def make_compact_plan(valid: jax.Array, capacity: int) -> CompactPlan:
@@ -52,15 +65,29 @@ def make_compact_plan(valid: jax.Array, capacity: int) -> CompactPlan:
     # a shared offset wins, which is the one that owns the samples.
     marker = jnp.zeros((capacity,), jnp.int32).at[offset].add(1, mode="drop")
     ray = jnp.cumsum(marker) - 1  # [Mc]
-    slot_in_ray = jnp.arange(capacity, dtype=jnp.int32) - offset[ray]
+    # segment-start offset per slot, by the same telescoped-delta trick
+    # (avoids an [Mc] element gather of offset[ray], ~7 ns/elem on TPU)
+    off_delta = jnp.diff(offset, prepend=jnp.zeros((1,), offset.dtype))
+    off_marker = jnp.zeros((capacity,), jnp.int32).at[offset].add(
+        off_delta, mode="drop"
+    )
+    seg_start = jnp.cumsum(off_marker)  # [Mc] = offset[ray[j]]
+    slot_in_ray = jnp.arange(capacity, dtype=jnp.int32) - seg_start
     src = ray * S + slot_in_ray
     valid_c = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(total, capacity)
     src = jnp.where(valid_c, src, 0)
-    return CompactPlan(ray=ray, src=src, valid=valid_c, total=total)
+    return CompactPlan(
+        ray=ray, src=src, valid=valid_c, total=total, offset=offset, n=n,
+        is_start=slot_in_ray == 0,
+    )
 
 
 def compact_gather(plan: CompactPlan, slab: jax.Array) -> jax.Array:
-    """Gather ``[N, S, ...]`` (or ``[N, S]``) slab values to ``[Mc, ...]``."""
+    """Gather ``[N, S, ...]`` (or ``[N, S]``) slab values to ``[Mc, ...]``.
+
+    Prefer a single call with a packed trailing axis: a ``[Mc]``-row gather
+    of a ``[N*S, W]`` record costs the same as a 1-D gather (~4x less per
+    value)."""
     flat = slab.reshape((slab.shape[0] * slab.shape[1],) + slab.shape[2:])
     out = flat[plan.src]
     mask = plan.valid.reshape((-1,) + (1,) * (out.ndim - 1))
@@ -75,7 +102,10 @@ def expand_to_slabs(
     Unique destination indices (a partial permutation): VJP is a gather.
     Invalid compact slots all collide on flat index 0 — route them to a
     sacrificial row and drop it so slot (0,0) stays exact.
-    """
+
+    NOTE: measured ~21 ms at Mc=524k, W=5 (XLA picks a transposed layout for
+    the scattered slab) — kept for inference/diagnostics; the training path
+    composites in compact space instead (``segment_sums``)."""
     flat_shape = (n_rays * n_steps + 1,) + values.shape[1:]
     dst = jnp.where(plan.valid, plan.src, n_rays * n_steps)
     out = (
@@ -84,3 +114,52 @@ def expand_to_slabs(
         .set(values, mode="drop", unique_indices=True)
     )
     return out[:-1].reshape((n_rays, n_steps) + values.shape[1:])
+
+
+def segment_broadcast(plan: CompactPlan, per_ray: jax.Array) -> jax.Array:
+    """Broadcast a per-ray value [N] to compact slots [Mc] (marker trick).
+
+    Differentiable in ``per_ray`` (diff → scatter-at-offsets → cumsum; the
+    VJP is cumsum → gather-at-offsets → undiff, all cheap [N]-sized ops).
+    """
+    delta = jnp.diff(per_ray, prepend=jnp.zeros((1,), per_ray.dtype))
+    cap = plan.ray.shape[0]
+    marker = jnp.zeros((cap,), per_ray.dtype).at[plan.offset].add(
+        delta, mode="drop"
+    )
+    return jnp.cumsum(marker)
+
+
+def segmented_cumsum(values: jax.Array, is_start: jax.Array) -> jax.Array:
+    """Inclusive cumsum over [Mc, ...] that RESTARTS at segment boundaries.
+
+    Exact per-segment prefixes: a single global cumsum followed by
+    base-subtraction would catastrophically cancel in f32 (the running sum
+    over ~0.5M slots reaches ~1e5-1e10 while per-segment partials are O(10)).
+    The classic segmented-scan operator keeps every partial segment-local:
+      (fa, va) ⊕ (fb, vb) = (fa|fb, vb + (fb ? 0 : va))
+    """
+    flags = is_start.reshape(is_start.shape + (1,) * (values.ndim - 1))
+
+    def op(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, vb + jnp.where(fb, 0.0, va)
+
+    _, out = jax.lax.associative_scan(op, (flags, values))
+    return out
+
+
+def segment_sums(plan: CompactPlan, values: jax.Array) -> jax.Array:
+    """Per-ray sums of compact per-slot values: [Mc, W] → [N, W].
+
+    Segmented cumsum + one [N]-row gather at each segment's last slot — no
+    scatter, and exact per segment (no global-cumsum cancellation). Rays
+    with n=0 or starting beyond capacity get exact zeros.
+    """
+    cap = plan.ray.shape[0]
+    pref = segmented_cumsum(values, plan.is_start)  # [Mc, W]
+    last = jnp.clip(plan.offset + plan.n - 1, 0, cap - 1)
+    out = pref[last]
+    ok = (plan.n > 0) & (plan.offset < cap)
+    return jnp.where(ok.reshape((-1,) + (1,) * (values.ndim - 1)), out, 0.0)

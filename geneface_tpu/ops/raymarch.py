@@ -207,12 +207,41 @@ def march_rays_train(
     inv_d3 = [1.0 / c for c in d3]
     dt_max = 2.0 * _SQRT3 * (1 << (C - 1)) / H
     dt_min = min(dt_max, 2.0 * _SQRT3 / max_steps)
+    # ``dt = clamp(t*dt_gamma, dt_min, dt_max)`` degenerates to a constant
+    # whenever dt_min == dt_max (true for every face config: H=128 >= S=16).
+    # Constant dt keeps samples on the per-ray lattice t0 + k*dt, so the
+    # CUDA empty-space do-while (``raymarching.cu:507-517``) has the closed
+    # form t += max(1, ceil((tt - t)/dt))*dt — one iteration per empty
+    # region instead of one per micro-step — and a COARSE any-pooled
+    # occupancy mip lets a single jump clear 8^3 fine cells at once.
+    uniform_dt = dt_min == dt_max and C == 1
 
     def dt_of(t):
         return jnp.clip(t * dt_gamma, dt_min, dt_max)
 
     t0 = nears + dt_of(nears) * noises
     grid_flat = occ_grid.reshape(C, -1)
+    if uniform_dt and H % 16 == 0:
+        # one uint8 mip byte per FINE cell: bit0 = fine occupied, bit1 = any
+        # in its 4^3 mid block, bit2 = any in its 16^3 coarse block. One
+        # gather per iteration serves all three skip levels.
+        occ0 = occ_grid[0]
+        Hm, Hco = H // 4, H // 16
+        mid = occ0.reshape(Hm, 4, Hm, 4, Hm, 4).any(axis=(1, 3, 5))
+        coarse = occ0.reshape(Hco, 16, Hco, 16, Hco, 16).any(axis=(1, 3, 5))
+        mid_up = jnp.broadcast_to(
+            mid[:, None, :, None, :, None], (Hm, 4, Hm, 4, Hm, 4)
+        ).reshape(H, H, H)
+        coarse_up = jnp.broadcast_to(
+            coarse[:, None, :, None, :, None], (Hco, 16, Hco, 16, Hco, 16)
+        ).reshape(H, H, H)
+        mip_byte = (
+            occ0.astype(jnp.uint8)
+            | (mid_up.astype(jnp.uint8) << 1)
+            | (coarse_up.astype(jnp.uint8) << 2)
+        ).reshape(-1)
+    else:
+        uniform_dt = False
 
     def occupancy_and_skip(t):
         """Occupancy at position t plus the DDA skip target (cu:466-510)."""
@@ -252,6 +281,67 @@ def march_rays_train(
         return occ, t_target
 
     slot_iota = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+
+    if uniform_dt:
+        dt = dt_min
+        mip_bound = min(1.0, bound)
+
+        def cond_u(state):
+            it, t, n_valid, *_ = state
+            return (it < march_iters) & jnp.any((t < fars) & (n_valid < S))
+
+        def body_u(state):
+            it, t, n_valid, ts, dts, dpts = state
+            alive = (t < fars) & (n_valid < S)
+            pos3 = [jnp.clip(oc + t * dc, -bound, bound) for oc, dc in zip(o3, d3)]
+            cell3 = [
+                jnp.clip(0.5 * (p / mip_bound + 1.0) * H, 0.0, float(H - 1))
+                .astype(jnp.int32)
+                for p in pos3
+            ]
+            lin = (cell3[0] * H + cell3[1]) * H + cell3[2]
+            b = mip_byte[lin]  # the ONLY gather of the iteration
+            occ_f = (b & 1) > 0
+            # skip level: empty coarse block -> 16^3-cell boundary, empty mid
+            # -> 4^3, else the fine cell. Per-ray level as vector math.
+            level_h = jnp.where(
+                (b & 4) == 0, float(H // 16), jnp.where((b & 2) == 0, float(H // 4), float(H))
+            )
+            t_skip = None
+            for cell, p, dc, inv_dc in zip(cell3, pos3, d3, inv_d3):
+                cl = jnp.floor(cell.astype(jnp.float32) * (level_h / H))
+                nxt = (
+                    ((cl + 0.5 + 0.5 * jnp.sign(dc)) * (2.0 / level_h) - 1.0)
+                    * mip_bound
+                    - p
+                ) * inv_dc
+                t_skip = nxt if t_skip is None else jnp.minimum(t_skip, nxt)
+            target = t + jnp.maximum(0.0, t_skip)
+
+            emit = alive & occ_f
+            write = emit[:, None] & (slot_iota == n_valid[:, None])
+            ts = jnp.where(write, t[:, None], ts)
+            dts = jnp.where(write, dt, dts)
+            dpts = jnp.where(write, (t + dt)[:, None], dpts)
+            n_valid = n_valid + emit.astype(jnp.int32)
+
+            # lattice-preserving jump past the whole empty region:
+            # t += max(1, ceil((tt - t)/dt)) * dt == the CUDA do-while result
+            k = jnp.maximum(jnp.ceil((target - t) / dt - 1e-5), 1.0)
+            t = jnp.where(alive, jnp.where(occ_f, t + dt, t + k * dt), t)
+            return (it + 1, t, n_valid, ts, dts, dpts)
+
+        init_u = (
+            jnp.int32(0),
+            t0,
+            jnp.zeros((N,), jnp.int32),
+            jnp.zeros((N, S), jnp.float32),
+            jnp.zeros((N, S), jnp.float32),
+            jnp.zeros((N, S), jnp.float32),
+        )
+        _, t, n_valid, ts, dts, dpts = jax.lax.while_loop(cond_u, body_u, init_u)
+        valid = slot_iota < n_valid[:, None]
+        return MarchResult(ts=ts, dts=dts, valid=valid, depth_ts=dpts)
 
     def cond(state):
         it, t, _, n_valid, *_ = state

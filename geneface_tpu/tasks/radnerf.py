@@ -179,7 +179,10 @@ class RADNeRFTask(Task):
             out[k] = out.pop(f"{k}_u8").astype(jnp.float32) / 255.0
         return out
 
-    def _loss_fn(self, params, occ, batch, rng, train: bool, lip: bool = False):
+    def _loss_fn(
+        self, params, occ, batch, rng, train: bool, lip: bool = False,
+        mspr: float | None = None,
+    ):
         cfg = self.cfg
         model = self.model
         batch = self._expand_light_batch(batch)
@@ -199,6 +202,9 @@ class RADNeRFTask(Task):
         def field_fn(xyz, dirs):
             return model.apply(params, xyz, dirs, cond_feat, ind)
 
+        rk = self._render_kwargs()
+        if mspr is not None:
+            rk["mean_samples_per_ray"] = mspr
         out = render_rays_radnerf(
             field_fn,
             batch["rays_o"],
@@ -206,12 +212,13 @@ class RADNeRFTask(Task):
             occ,
             bg_color=batch["bg_torso_img"],
             rng=rng if train else None,
-            **self._render_kwargs(),
+            **rk,
         )
         pred = out["rgb_map"]
         gt = batch["gt_img"]
         mse = jnp.mean((pred - gt) ** 2)
         losses = {"mse_loss": mse}
+        losses["mean_samples"] = jnp.mean(out["n_samples"].astype(jnp.float32))
 
         if train:
             alphas = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
@@ -247,15 +254,22 @@ class RADNeRFTask(Task):
         losses["head_psnr"] = -10.0 * jnp.log(mse) / jnp.log(10.0)
         return total, losses
 
+    # static sample-capacity buckets for the compacted renderer: the
+    # reference sizes its CUDA buffers from a running mean step count
+    # (renderer.py:98-101,302); here the same signal picks one of a few
+    # PRE-COMPILED capacities (static shapes), re-checked every
+    # ``capacity_check_interval`` steps with a single lagged D2H fetch.
+    SPR_BUCKETS = (2.0, 3.0, 4.0, 6.0, 8.0, 12.0, 16.0)
+
     def _build_jits(self):
         tx = self.tx
 
-        def _make_train_step(lip: bool):
+        def _make_train_step(lip: bool, mspr: float | None):
             @partial(jax.jit, donate_argnums=(0, 1))
             def train_step(params, opt_state, occ, batch, rng):
                 (_, losses), grads = jax.value_and_grad(
                     lambda p: self._loss_fn(
-                        p, occ, batch, rng, train=True, lip=lip
+                        p, occ, batch, rng, train=True, lip=lip, mspr=mspr
                     ),
                     has_aux=True,
                 )(params)
@@ -266,9 +280,14 @@ class RADNeRFTask(Task):
 
             return train_step
 
-        train_step = _make_train_step(lip=False)
+        self._make_train_step = _make_train_step
+        self._step_fn_cache = {}
+        self._spr_bucket = None  # None -> config default capacity
+        self._last_losses = None
+
+        train_step = _make_train_step(lip=False, mspr=None)
         self._train_step_lip_fn = (
-            _make_train_step(lip=True) if self.lpips is not None else None
+            _make_train_step(lip=True, mspr=None) if self.lpips is not None else None
         )
 
         @jax.jit
@@ -332,18 +351,47 @@ class RADNeRFTask(Task):
             )
         return state
 
+    def _maybe_retune_capacity(self, losses):
+        """Re-pick the compacted renderer's static capacity bucket from the
+        measured mean march count — the TPU analog of the reference's
+        mean-count ring buffer (``renderer.py:98-101,302``). One lagged D2H
+        fetch every ``capacity_check_interval`` steps; a bucket change costs
+        one recompile (cached thereafter)."""
+        cfg = self.cfg
+        if not cfg.get("mean_samples_per_ray", 8):
+            return
+        interval = int(cfg.get("capacity_check_interval", 64))
+        first = self._last_losses is None
+        if losses is not None and (first or self._step % interval == 0):
+            mean = float(losses["mean_samples"])  # sync point (lagged 1 step)
+            self._last_losses = mean
+            want = min(
+                [b for b in self.SPR_BUCKETS if b >= 1.3 * mean] or [16.0]
+            )
+            self._spr_bucket = min(want, float(cfg.get("max_steps", 16)))
+
+    def _step_fn(self, lip: bool):
+        key = (lip, self._spr_bucket)
+        if key not in self._step_fn_cache:
+            self._step_fn_cache[key] = self._make_train_step(
+                lip=lip, mspr=self._spr_bucket
+            )
+        return self._step_fn_cache[key]
+
     def train_step(self, state, batch, rng):
         rng_occ, rng_step = jax.random.split(rng)
         state = self._maybe_update_occ(state, rng_occ)
         dbatch = self._device_batch(batch, self._step)
         # lip-phase batches are square patches emitted by the dataset when
         # finetune_lip_flag is set; they carry an explicit marker
-        step_fn = self._train_step_fn
-        if self._train_step_lip_fn is not None and batch.get("is_lip_patch"):
-            step_fn = self._train_step_lip_fn
+        lip = bool(
+            self._train_step_lip_fn is not None and batch.get("is_lip_patch")
+        )
+        step_fn = self._train_step_lip_fn if lip else self._step_fn(False)
         params, opt_state, losses = step_fn(
             state["params"], state["opt_state"], state["occ"], dbatch, rng_step
         )
+        self._maybe_retune_capacity(losses)
         self._step += 1
         # lip-phase flag alternates each step (radnerf.py:162-164)
         cfg = self.cfg

@@ -78,6 +78,10 @@ class RADNeRFDataset:
     ):
         self.cfg = cfg
         self.rng = rng or np.random.RandomState(cfg.get("seed", 9999))
+        # separate stream for epoch shuffling so the prefetching iterator
+        # (which requests the next frame index before the current item's ray
+        # draw) sees identical values to the synchronous path
+        self.order_rng = np.random.RandomState(cfg.get("seed", 9999) + 1)
         ds = np.load(
             os.path.join(data_dir, "trainval_dataset.npy"), allow_pickle=True
         ).tolist()
@@ -142,6 +146,43 @@ class RADNeRFDataset:
         self.lips_rects = [self._lip_rect(s) for s in self.samples]
         self.finetune_lip_flag = False
 
+        # Native (C++) batch loader: one-time uint8 frame planes, then each
+        # step gathers only the sampled pixels and composites torso-over-bg
+        # in fixed point — replaces the per-item full-frame float conversion
+        # + composite below (geneface_tpu/native/src/gf_native.cpp).
+        self.native_loader = None
+        if (
+            self.training
+            and cfg.get("device_rays", True)
+            and cfg.get("native_loader", True)
+        ):
+            try:
+                self.native_loader = self._build_native_loader()
+            except Exception:
+                self.native_loader = None
+
+    def _build_native_loader(self):
+        from geneface_tpu.native import NativeBatchLoader, load_library
+
+        if load_library() is None:
+            return None
+
+        def to_u8(a):
+            a = np.asarray(a)
+            if a.dtype == np.uint8:
+                return a
+            return np.clip(a * 255.0 + 0.5, 0, 255).astype(np.uint8)
+
+        HW = self.H * self.W
+        gt = np.stack(
+            [to_u8(s["gt_img"]).reshape(HW, -1)[:, :3] for s in self.samples]
+        )
+        torso = np.stack(
+            [to_u8(s["torso_img"]).reshape(HW, -1) for s in self.samples]
+        )
+        bg = to_u8(self.bg_img).reshape(HW, 3)
+        return NativeBatchLoader(gt, torso, bg, n_threads=2)
+
     def _lip_rect(self, sample):
         """Square lip rect from landmarks (``dataset_utils.py:101-118``);
         stored in the sample dict (binarizer) or derived from ``lms`` if
@@ -179,7 +220,6 @@ class RADNeRFDataset:
     def __getitem__(self, idx: int) -> dict:
         cfg = self.cfg
         sample = self.samples[idx]
-        gt_img, torso_img = self._images(sample)
 
         out = {
             "H": self.H,
@@ -239,6 +279,14 @@ class RADNeRFDataset:
             )
             out["bg_coords"] = self.bg_coords[inds].astype(np.float32)
 
+        if device_rays and self.native_loader is not None:
+            gt_u8, bg_u8, bgt_u8 = self.native_loader.gather(idx, inds)
+            out["gt_img_u8"] = gt_u8
+            out["bg_img_u8"] = bg_u8
+            out["bg_torso_img_u8"] = bgt_u8
+            return out
+
+        gt_img, torso_img = self._images(sample)
         # torso composited onto bg acts as the head's background
         # (dataset_utils.py:190-206)
         bg_flat = self.bg_img.reshape(-1, 3)
@@ -261,11 +309,62 @@ class RADNeRFDataset:
             out["gt_img"] = gt_flat[inds]
         return out
 
-    def iter_epochs(self, start_step: int = 0, shuffle: bool = True):
-        """Infinite per-frame iterator (batch size 1, as the reference)."""
-        while True:
-            order = np.arange(len(self))
-            if shuffle:
-                self.rng.shuffle(order)
-            for i in order:
+    def iter_epochs(
+        self, start_step: int = 0, shuffle: bool = True, prefetch: bool = True
+    ):
+        """Infinite per-frame iterator (batch size 1, as the reference).
+
+        With ``prefetch`` a single worker thread assembles the next batch
+        while the caller's device step runs (numpy/native gathers release the
+        GIL). Item order and RNG draws are identical to the synchronous path;
+        only ``finetune_lip_flag`` toggles take effect one item late.
+        """
+
+        def indices():
+            while True:
+                order = np.arange(len(self))
+                if shuffle:
+                    self.order_rng.shuffle(order)
+                yield from order
+
+        it = indices()
+        if not prefetch:
+            for i in it:
                 yield self[int(i)]
+            return
+
+        # one-ahead pipeline on a daemon worker thread (a bare thread rather
+        # than ThreadPoolExecutor: abandoned generators must not leave
+        # non-daemon threads to join at interpreter shutdown)
+        import queue
+        import threading
+
+        jobs: queue.Queue = queue.Queue(maxsize=2)
+        results: queue.Queue = queue.Queue(maxsize=2)
+
+        def worker():
+            while True:
+                i = jobs.get()
+                if i is None:
+                    return
+                try:
+                    results.put((self[int(i)], None))
+                except BaseException as e:  # surface in the consumer
+                    results.put((None, e))
+                    return
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            jobs.put(int(next(it)))
+            for i in it:
+                jobs.put(int(i))
+                item, err = results.get()
+                if err is not None:
+                    raise err
+                yield item
+        finally:
+            try:
+                jobs.put_nowait(None)
+            except queue.Full:
+                pass

@@ -32,7 +32,7 @@ _DEFAULT_HEADER_SIZE = 16 * 1024 * 1024
 class IndexedDataset:
     """Random-access reader over a finalized store."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, use_native: bool = True):
         self.path = path
         with open(f"{path}.data", "rb") as f:
             index_len = int.from_bytes(f.read(_HEADER_LEN_BYTES), "little")
@@ -42,6 +42,19 @@ class IndexedDataset:
         self.meta: dict = dict(index.get("meta", {}))
         self.gzip: bool = bool(self.meta.get("gzip", False))
         self.chunk_begin: list[int] = list(self.meta.get("chunk_begin", [0]))
+        # optional native (C++ mmap) read backend; None -> pure-python seeks
+        self.native = None
+        if use_native:
+            try:
+                from geneface_tpu.native import NativeStore, load_library
+
+                if load_library() is not None:
+                    paths = [
+                        self._chunk_path(k) for k in range(len(self.chunk_begin))
+                    ]
+                    self.native = NativeStore(paths, self.chunk_begin)
+            except Exception:
+                self.native = None
 
     def __len__(self) -> int:
         return len(self.offsets) - 1
@@ -54,6 +67,10 @@ class IndexedDataset:
             i = self.id2pos[i]
         if not 0 <= i < len(self):
             raise IndexError(f"record {i} out of range [0, {len(self)})")
+        if self.native is not None:
+            return self.native.read(
+                self.offsets[i], self.offsets[i + 1] - self.offsets[i]
+            )
         chunk_id = bisect(self.chunk_begin[1:], self.offsets[i])
         with open(self._chunk_path(chunk_id), "rb") as f:
             f.seek(self.offsets[i] - self.chunk_begin[chunk_id])

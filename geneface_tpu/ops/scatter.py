@@ -36,7 +36,13 @@ def scatter_add_rows(
     updates: jax.Array,  # [M, W] float
     n_rows: int,
 ) -> jax.Array:
-    """``out[r] = sum_{i: rows[i]==r} updates[i]`` → [n_rows, W] f32."""
+    """``out[r] = sum_{i: rows[i]==r} updates[i]`` → [n_rows, W] f32.
+
+    Any out-of-range row (negative included) is dropped. jax's
+    ``mode="drop"`` alone would *wrap* negative indices python-style, so
+    they are first redirected to the (dropped) index ``n_rows``.
+    """
+    rows = jnp.where((rows < 0) | (rows >= n_rows), n_rows, rows)
     return (
         jnp.zeros((n_rows, updates.shape[-1]), jnp.float32)
         .at[rows]

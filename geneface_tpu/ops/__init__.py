@@ -8,6 +8,15 @@ from geneface_tpu.ops.encoders import (  # noqa: F401
     make_grid_meta,
     sh_encode,
 )
+from geneface_tpu.ops.encoders import get_encoder  # noqa: F401
+from geneface_tpu.ops.geometry import (  # noqa: F401
+    extract_fields,
+    extract_geometry,
+    linear_to_srgb,
+    marching_tetrahedra,
+    sph_from_ray,
+    srgb_to_linear,
+)
 from geneface_tpu.ops.morton import (  # noqa: F401
     dilate_grid3d,
     morton3d,

@@ -750,3 +750,60 @@ def _fge_bwd(bmeta, res, g):
 
 
 fast_grid_encode.defvjp(_fge_fwd, _fge_bwd)
+
+
+# ------------------------------------------------------------- dispatch ----
+def get_encoder(
+    encoding: str,
+    input_dim: int = 3,
+    multires: int = 6,
+    degree: int = 4,
+    num_levels: int = 16,
+    level_dim: int = 2,
+    base_resolution: int = 16,
+    log2_hashmap_size: int = 19,
+    desired_resolution: int = 2048,
+    align_corners: bool = False,
+    interpolation: str = "linear",
+    **kwargs,
+):
+    """Encoder dispatch with the reference's surface
+    (``encoders/encoding.py:6-36``): returns ``(encode_fn, output_dim,
+    init_fn)``. ``init_fn(rng)`` produces the parameter pytree for grid
+    encoders (None for the parameterless ones); ``encode_fn(x, params=None)``
+    is jit-compatible.
+
+    encoding ∈ {"None", "frequency", "spherical_harmonics", "hashgrid",
+    "tiledgrid"}.
+    """
+    if encoding == "None":
+        return (lambda x, params=None: x), input_dim, None
+    if encoding == "frequency":
+        return (
+            lambda x, params=None: freq_encode(x, multires),
+            freq_encode_output_dim(input_dim, multires),
+            None,
+        )
+    if encoding == "spherical_harmonics":
+        return (lambda x, params=None: sh_encode(x, degree)), degree**2, None
+    if encoding in ("hashgrid", "tiledgrid"):
+        meta = make_grid_meta(
+            input_dim=input_dim,
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            desired_resolution=desired_resolution,
+            gridtype="hash" if encoding == "hashgrid" else "tiled",
+            align_corners=align_corners,
+            interpolation=interpolation,
+        )
+        return (
+            lambda x, params: grid_encode(x, params, meta),
+            meta.output_dim,
+            lambda rng: init_grid_embeddings(rng, meta),
+        )
+    raise NotImplementedError(
+        "Unknown encoding mode, choose from "
+        "[None, frequency, spherical_harmonics, hashgrid, tiledgrid]"
+    )

@@ -89,6 +89,63 @@ class Task:
         return trainer
 
 
+def tee_terminal_logs(work_dir: str):
+    """Mirror stdout/stderr to ``work_dir/terminal_logs/log_<ts>.txt``
+    (reference ``utils/commons/trainer.py:27-43,541-544``). Returns the tee
+    object; safe to call multiple times (later calls stack)."""
+    import sys
+    from datetime import datetime
+
+    log_dir = os.path.join(work_dir, "terminal_logs")
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(
+        log_dir, f"log_{datetime.now().strftime('%Y%m%d%H%M%S')}.txt"
+    )
+    f = open(path, "a", buffering=1)
+
+    class _Tee:
+        def __init__(self, stream):
+            self.stream = stream
+
+        def write(self, data):
+            self.stream.write(data)
+            f.write(data)
+
+        def flush(self):
+            self.stream.flush()
+            f.flush()
+
+    sys.stdout = _Tee(sys.stdout)
+    sys.stderr = _Tee(sys.stderr)
+    return f
+
+
+def snapshot_code(work_dir: str, src_root: str | None = None):
+    """Copy the framework sources into ``work_dir/codes/<ts>/`` for experiment
+    provenance (reference ``trainer.py:546-562`` rsyncs the repo). Only
+    ``.py``/``.yaml`` files are copied."""
+    import shutil
+    from datetime import datetime
+
+    if src_root is None:
+        src_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(
+        work_dir, "codes", datetime.now().strftime("%Y%m%d%H%M%S")
+    )
+    for root, _dirs, files in os.walk(src_root):
+        if any(p in root for p in ("__pycache__", ".git", "checkpoints")):
+            continue
+        rel = os.path.relpath(root, src_root)
+        for name in files:
+            if not name.endswith((".py", ".yaml", ".yml", ".cpp")):
+                continue
+            os.makedirs(os.path.join(dst, rel), exist_ok=True)
+            shutil.copy2(
+                os.path.join(root, name), os.path.join(dst, rel, name)
+            )
+    return dst
+
+
 class Trainer:
     def __init__(self, task: Task):
         self.task = task
@@ -98,6 +155,10 @@ class Trainer:
         )
         os.makedirs(self.work_dir, exist_ok=True)
         save_config(self.cfg, self.work_dir)
+        if self.cfg.get("tee_logs", False):
+            tee_terminal_logs(self.work_dir)
+        if self.cfg.get("save_codes", False):
+            snapshot_code(self.work_dir)
         self.logger = MetricsLogger(self.work_dir)
         self.ckpt = CheckpointManager(
             self.work_dir,

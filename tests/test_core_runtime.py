@@ -161,3 +161,31 @@ def test_mesh_and_shard_batch():
 def test_mesh_2d():
     mesh = make_mesh(n_data=4, n_model=2)
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_tee_and_snapshot(tmp_path):
+    """Observability parity: terminal-log tee + code snapshot
+    (reference trainer.py:27-43,541-562)."""
+    import sys
+
+    from geneface_tpu.training.trainer import snapshot_code, tee_terminal_logs
+
+    out_stdout, out_stderr = sys.stdout, sys.stderr
+    try:
+        f = tee_terminal_logs(str(tmp_path))
+        print("hello-tee-marker")
+        f.flush()
+        logs = list((tmp_path / "terminal_logs").iterdir())
+        assert len(logs) == 1
+        assert "hello-tee-marker" in logs[0].read_text()
+    finally:
+        sys.stdout, sys.stderr = out_stdout, out_stderr
+
+    dst = snapshot_code(str(tmp_path))
+    import os
+
+    copied = [
+        os.path.join(r, n) for r, _, ns in os.walk(dst) for n in ns
+    ]
+    assert any(n.endswith("trainer.py") for n in copied)
+    assert any(n.endswith("gf_native.cpp") for n in copied)

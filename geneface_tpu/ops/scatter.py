@@ -15,9 +15,20 @@ row gather      1.9 ms   (for scale: the forward's cost)
 
 The grid backward needs one such scatter **per level** (16 levels × 2 grids
 per field eval), so this primitive sets the training-step floor. The XLA
-scatter is the current backend; a Pallas MXU kernel (one-hot generated
-in-register, accumulated on the MXU — no HBM one-hot traffic) is the
-planned replacement for capped-R tables.
+scatter is the backend: the Pallas alternatives were built and measured
+(v5e, jax 0.9 AOT) and all lose —
+
+- lane-packed VMEM-accumulator RMW kernel (``ops/pallas_scatter.py``):
+  ~24 ms at M=393k/W=32/R=5832 (~60 ns/update; Mosaic serializes
+  dynamic-sublane read-modify-writes) vs ~2-5 ms XLA;
+- MXU one-hot matmul: cost ∝ 2·M·R·W with ≤1/8 MXU utilization at W=32
+  (lane width 128) — loses beyond R≈8k (7.4 ms measured via XLA einsum);
+- vectorized in-kernel gathers/scatters (``jnp.take``/``take_along_axis``)
+  do not lower in Mosaic on this stack (shape-mismatch / internal errors),
+  leaving only the scalar loop above.
+
+The kernel stays in-tree with tests as the documented negative result and
+as a ready backend should Mosaic gain vectorized dynamic indexing.
 
 Reference semantics equivalent: the atomicAdd accumulation in
 ``gridencoder/src/gridencoder.cu:248-341``.

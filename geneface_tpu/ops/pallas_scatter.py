@@ -65,7 +65,7 @@ def _kernel(rows_ref, upd_ref, out_ref, acc_ref, *, n_rows, P, W, chunk):
 
         return 0
 
-    jax.lax.fori_loop(0, chunk // P, body, 0, unroll=True)
+    jax.lax.fori_loop(0, chunk // P, body, 0)
 
     @pl.when(c == nc - 1)
     def _():

@@ -20,10 +20,10 @@ from geneface_tpu.ops.scatter import scatter_add_rows
 @pytest.mark.parametrize(
     "M,R,W,chunk",
     [
-        (5000, 777, 32, 1024),
-        (2048, 100, 16, 512),
+        (3000, 777, 32, 1024),
+        (1024, 100, 16, 512),
         (100, 8, 128, 128),
-        (4096, 4096, 64, 2048),
+        (1024, 1024, 64, 512),
     ],
 )
 def test_pallas_scatter_matches_oracle(M, R, W, chunk):
@@ -41,13 +41,13 @@ def test_pallas_scatter_matches_oracle(M, R, W, chunk):
 
 def test_pallas_scatter_collision_heavy():
     """All updates land on a handful of rows — max accumulation contention."""
-    M, R, W = 3000, 4, 32
+    M, R, W = 1500, 4, 32
     rng = np.random.RandomState(0)
     rows = rng.randint(0, R, M).astype(np.int32)
     upd = np.ones((M, W), np.float32)
     got = np.asarray(
         scatter_add_rows_pallas(
-            jnp.asarray(rows), jnp.asarray(upd), R, chunk=1000, interpret=True
+            jnp.asarray(rows), jnp.asarray(upd), R, chunk=500, interpret=True
         )
     )
     counts = np.bincount(rows, minlength=R).astype(np.float32)

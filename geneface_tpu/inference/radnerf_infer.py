@@ -9,8 +9,11 @@ frame with the jitted renderer, and mux frames + audio into an mp4 via
 ffmpeg (``base_nerf_infer.py:306``).
 
 Multi-chip frame parallelism (the reference's DDP frame sharding,
-``base_nerf_infer.py:131-179``): frames round-robin over ``jax.devices()``
-via sharded batch puts; single-chip by default.
+``base_nerf_infer.py:131-179``): with >1 device, ``render_video`` batches
+frames into mesh-sized groups and renders them under ``shard_map`` — each
+chip runs the full alive-ray loop on its own frame shard, parameters and
+occupancy replicated, no cross-chip collectives (frames are independent,
+exactly like the reference's per-rank frame slices).
 """
 
 from __future__ import annotations
@@ -178,15 +181,55 @@ class RADNeRFInfer:
             )
         return out["rgb_map"]
 
+    # ------------------------------------------------ frame parallelism ----
+    def _build_sharded_renderer(self, mesh):
+        """shard_map renderer over [F, ...] frame batches: each device runs
+        the full alive-ray loop on its F/n_dev local frames (the TPU analog
+        of the reference's per-rank frame slices,
+        ``base_nerf_infer.py:150-155``)."""
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = getattr(jax, "shard_map", None)
+        if shard_map is None:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        data_spec = P("data")
+        rep = P()
+
+        def per_shard(params, occ_pack, ro, rd, b, bc, cw, p6):
+            def one(args):
+                ro1, rd1, b1, bc1, cw1, p61 = args
+                return self._render_frame(
+                    params, occ_pack, ro1, rd1, b1, bc1, cw1, p61, 0
+                )
+
+            return jax.lax.map(one, (ro, rd, b, bc, cw, p6))
+
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(rep, rep) + (data_spec,) * 6,
+            out_specs=data_spec,
+        )
+        try:  # vma tracking chokes on the march while_loop carry; frames are
+            fn = shard_map(per_shard, check_vma=False, **kwargs)  # independent
+        except TypeError:  # older jax spells it check_rep
+            fn = shard_map(per_shard, check_rep=False, **kwargs)
+        return jax.jit(fn)
+
     def render_video(
         self,
         idexp_lm3d: np.ndarray | None = None,
         out_path: str = "infer_out/pred_video/out.mp4",
         audio_path: str | None = None,
         n_frames: int | None = None,
+        frame_parallel: bool | None = None,
     ) -> str:
         """Render frames driven by ``idexp_lm3d`` (or GT dataset conds) using
-        dataset poses (looped), then mux to mp4."""
+        dataset poses (looped), then mux to mp4.
+
+        ``frame_parallel`` (default: auto — on when >1 device is visible)
+        shards frame groups over the device mesh's data axis.
+        """
         ds = self.dataset
         cfg = self.cfg
         if idexp_lm3d is not None:
@@ -197,19 +240,43 @@ class RADNeRFInfer:
         smo = cfg.get("smo_win_size", 5)
         H, W = ds.H, ds.W
         occ_pack = (self.occ, self.torso_occ) if self.torso else (self.occ,)
+        n_dev = len(jax.devices())
+        if frame_parallel is None:
+            frame_parallel = n_dev > 1 and T >= n_dev
+
+        def frame_inputs(i):
+            item = ds[i % len(ds)]
+            cond = get_cond_window(cond_wins_all, i, smo)
+            bg_key = "bg_torso_img" if not self.torso else "bg_img"
+            return (
+                item["rays_o"], item["rays_d"], item[bg_key],
+                item["bg_coords"], cond, item["pose"],
+            )
 
         frames = []
-        for i in range(T):
-            di = i % len(ds)
-            item = ds[di]
-            cond = jnp.asarray(get_cond_window(cond_wins_all, i, smo))
-            rgb = self._render_jit(
-                self.params, occ_pack,
-                jnp.asarray(item["rays_o"]), jnp.asarray(item["rays_d"]),
-                jnp.asarray(item["bg_torso_img" if not self.torso else "bg_img"]),
-                jnp.asarray(item["bg_coords"]),
-                cond, jnp.asarray(item["pose"]), item["idx"],
-            )
-            frame = np.asarray(rgb).reshape(H, W, 3)
-            frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        if frame_parallel:
+            from geneface_tpu.parallel import make_mesh, shard_batch
+
+            mesh = make_mesh(n_data=n_dev)
+            renderer = self._build_sharded_renderer(mesh)
+            for lo in range(0, T, n_dev):
+                idxs = [min(lo + k, T - 1) for k in range(n_dev)]  # pad w/ last
+                stacked = [
+                    np.stack([np.asarray(frame_inputs(i)[j]) for i in idxs])
+                    for j in range(6)
+                ]
+                sharded = shard_batch(mesh, tuple(stacked))
+                rgb = np.asarray(renderer(self.params, occ_pack, *sharded))
+                for k in range(min(n_dev, T - lo)):
+                    frame = rgb[k].reshape(H, W, 3)
+                    frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
+        else:
+            for i in range(T):
+                inp = frame_inputs(i)
+                rgb = self._render_jit(
+                    self.params, occ_pack,
+                    *[jnp.asarray(v) for v in inp], 0,
+                )
+                frame = np.asarray(rgb).reshape(H, W, 3)
+                frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))
         return save_mp4(np.stack(frames), out_path, audio_path=audio_path)

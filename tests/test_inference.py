@@ -68,3 +68,48 @@ def test_radnerf_infer_end_to_end(tmp_path):
     out = str(tmp_path / "out.mp4")
     path = infer.render_video(idexp_lm3d=lm, out_path=out, n_frames=3)
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_frame_parallel_matches_sequential(tmp_path):
+    """shard_map frame-parallel render (8-device CPU mesh) equals the
+    sequential path bit-for-bit modulo uint8 rounding — the TPU analog of the
+    reference's DDP frame sharding (base_nerf_infer.py:131-179)."""
+    import cv2
+
+    from geneface_tpu.inference.radnerf_infer import RADNeRFInfer
+    from geneface_tpu.tasks.radnerf import RADNeRFTask
+    from geneface_tpu.training.trainer import Trainer
+    from tests.test_radnerf_training import tiny_cfg
+
+    synth = str(tmp_path / "synth")
+    make_dataset(synth, n_frames=10, hw=32)
+    wd = str(tmp_path / "head")
+    cfg = tiny_cfg(synth, wd, max_updates=2, val_check_interval=4)
+    Trainer(RADNeRFTask(cfg)).fit()
+
+    infer = RADNeRFInfer(cfg, work_dir=wd, torso=False)
+    T = 10  # > 8 devices: exercises the padded last group
+
+    def frames_of(path):
+        cap = cv2.VideoCapture(path)
+        out = []
+        while True:
+            ok, f = cap.read()
+            if not ok:
+                break
+            out.append(cv2.cvtColor(f, cv2.COLOR_BGR2RGB))
+        cap.release()
+        return np.stack(out)
+
+    p_seq = infer.render_video(
+        out_path=str(tmp_path / "seq.mp4"), n_frames=T, frame_parallel=False
+    )
+    p_par = infer.render_video(
+        out_path=str(tmp_path / "par.mp4"), n_frames=T, frame_parallel=True
+    )
+    a, b = frames_of(p_seq), frames_of(p_par)
+    assert a.shape == b.shape == (T, 32, 32, 3)
+    # mp4 is lossy; compare decoded streams to themselves (identical inputs
+    # -> identical encodes) with a tiny tolerance for codec nondeterminism
+    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert diff.max() <= 2, diff.max()

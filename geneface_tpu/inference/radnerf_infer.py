@@ -111,7 +111,41 @@ class RADNeRFInfer:
             f"{cfg.get('video_id', '')}"
         )
         self.dataset = RADNeRFDataset("trainval", data_dir, cfg, training=False)
-        self._render_jit = jax.jit(self._render_frame)
+        self._render_jit = jax.jit(
+            self._render_frame, static_argnames=("ray_capacity",)
+        )
+        self._ray_capacity = None  # picked lazily per video (see render_video)
+
+    def _pick_ray_capacity(self, n_probe: int = 4) -> int | None:
+        """Static ray-cull capacity for this video: probe hit counts of the
+        tight occupied-AABB slab test over a few dataset poses, pad 15% and
+        round to 4096 (the TPU-shaped analog of the reference's alive-ray
+        counters, ``renderer.py:328-351``)."""
+        if not self.cfg.get("infer_ray_cull", True):
+            return None
+        from geneface_tpu.models.radnerf.renderer import occupied_aabb
+        from geneface_tpu.ops import near_far_from_aabb
+
+        ds = self.dataset
+        bound = float(self.cfg.get("bound", 1))
+        min_near = float(self.cfg.get("min_near", 0.05))
+        tight = occupied_aabb(self.occ.occ_grid, bound)
+
+        @jax.jit
+        def hits(ro, rd):
+            tn, _ = near_far_from_aabb(ro, rd, tight, min_near)
+            return jnp.sum(tn < 1e30)
+
+        n = 0
+        N = ds.H * ds.W
+        for i in range(0, len(ds), max(1, len(ds) // n_probe))[:n_probe]:
+            item = ds[i]
+            n = max(n, int(hits(jnp.asarray(item["rays_o"]),
+                                jnp.asarray(item["rays_d"]))))
+        if n == 0:
+            return None
+        cap = int(-(-int(n * 1.15) // 4096) * 4096)
+        return cap if cap < N else None
 
     # ------------------------------------------------------------------
     def conds_from_lm3d(self, idexp_lm3d: np.ndarray) -> np.ndarray:
@@ -141,7 +175,7 @@ class RADNeRFInfer:
         )
 
     def _render_frame(self, params, occ_and_torso, rays_o, rays_d, bg, bg_coords,
-                      cond_wins, pose6, ind_idx):
+                      cond_wins, pose6, ind_idx, ray_capacity=None):
         cfg = self.cfg
         model = self.model
         cond_feat = model.apply(params, cond_wins, method=model.cal_cond_feat)
@@ -151,12 +185,23 @@ class RADNeRFInfer:
         def field_fn(xyz, dirs):
             return model.apply(params, xyz, dirs, cond_feat, ind)
 
+        # compacted field eval: full frames are mostly empty space, so the
+        # per-ray mean valid-sample count is low; capacity comes from config
+        # (overflow samples at the back of a ray carry negligible T)
+        mspr = float(
+            cfg.get(
+                "infer_mean_samples_per_ray", cfg.get("mean_samples_per_ray", 8)
+            )
+            or 0
+        )
         kwargs = dict(
             bound=float(cfg.get("bound", 1)),
             min_near=float(cfg.get("min_near", 0.05)),
             dt_gamma=float(cfg.get("dt_gamma", 1.0 / 256)),
             max_steps=int(cfg.get("max_steps", 16)),
             grid_size=int(cfg.get("grid_size", 128)),
+            mean_samples_per_ray=mspr or None,
+            ray_capacity=ray_capacity,
         )
         if self.torso:
             occ, torso_occ = occ_and_torso
@@ -196,11 +241,14 @@ class RADNeRFInfer:
         data_spec = P("data")
         rep = P()
 
+        ray_capacity = self._ray_capacity
+
         def per_shard(params, occ_pack, ro, rd, b, bc, cw, p6):
             def one(args):
                 ro1, rd1, b1, bc1, cw1, p61 = args
                 return self._render_frame(
-                    params, occ_pack, ro1, rd1, b1, bc1, cw1, p61, 0
+                    params, occ_pack, ro1, rd1, b1, bc1, cw1, p61, 0,
+                    ray_capacity=ray_capacity,
                 )
 
             return jax.lax.map(one, (ro, rd, b, bc, cw, p6))
@@ -243,6 +291,7 @@ class RADNeRFInfer:
         n_dev = len(jax.devices())
         if frame_parallel is None:
             frame_parallel = n_dev > 1 and T >= n_dev
+        self._ray_capacity = self._pick_ray_capacity()
 
         def frame_inputs(i):
             item = ds[i % len(ds)]
@@ -276,6 +325,7 @@ class RADNeRFInfer:
                 rgb = self._render_jit(
                     self.params, occ_pack,
                     *[jnp.asarray(v) for v in inp], 0,
+                    ray_capacity=self._ray_capacity,
                 )
                 frame = np.asarray(rgb).reshape(H, W, 3)
                 frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))

@@ -177,6 +177,39 @@ def update_extra_state(
     return OccupancyState(density, occ_grid, mean_density)
 
 
+def occupied_aabb(occ_grid: jax.Array, bound: float) -> jax.Array:
+    """Tight world AABB of occupied fine cells, one-cell margin → [6].
+
+    Inference ray culling (the TPU analog of the reference's alive-ray
+    compaction, ``renderer.py:328-351``): on a full frame most rays never
+    touch occupied space; a slab test against this box rejects them before
+    the march. Falls back to the full box when the grid is empty. On-device
+    (reductions only), so it traces into the jitted render.
+    """
+    g = occ_grid[0]
+    H = g.shape[0]
+    idx = jnp.arange(H, dtype=jnp.float32)
+    mip_bound = min(1.0, bound)
+
+    lohi = []
+    for ax in ((1, 2), (0, 2), (0, 1)):
+        any_i = jnp.any(g, axis=ax)
+        lo = jnp.min(jnp.where(any_i, idx, jnp.float32(H)))
+        hi = jnp.max(jnp.where(any_i, idx, jnp.float32(-1)))
+        lohi.append((lo, hi))
+    empty = ~jnp.any(g)
+    los = jnp.stack(
+        [((lh[0] - 1.0) / H * 2.0 - 1.0) * mip_bound for lh in lohi]
+    )
+    his = jnp.stack(
+        [((lh[1] + 2.0) / H * 2.0 - 1.0) * mip_bound for lh in lohi]
+    )
+    full = make_aabb(bound)
+    los = jnp.where(empty, full[:3], jnp.maximum(los, full[:3]))
+    his = jnp.where(empty, full[3:], jnp.minimum(his, full[3:]))
+    return jnp.concatenate([los, his])
+
+
 def render_rays_radnerf(
     field_fn: Callable,  # (xyz [M,3], dirs [M,3]) -> (sigma, rgb, ambient_pos)
     rays_o: jax.Array,  # [N, 3]
@@ -195,6 +228,7 @@ def render_rays_radnerf(
     density_scale: float = 1.0,
     field_chunks: int = 1,
     mean_samples_per_ray: float | None = None,
+    ray_capacity: int | None = None,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -205,6 +239,58 @@ def render_rays_radnerf(
     plus the march mask for diagnostics.
     """
     N = rays_o.shape[0]
+    if ray_capacity:
+        # ---- inference ray culling: march only rays whose slab test hits
+        # the tight occupied box; scatter results back to the frame. A
+        # static-capacity index buffer keeps shapes compile-constant; if the
+        # frame has more candidate rays than capacity the overflow renders
+        # as background (choose capacity from the face's screen coverage).
+        C = min(int(ray_capacity), N)
+        tight = occupied_aabb(occ.occ_grid, bound)
+        tn, _tf = near_far_from_aabb(rays_o, rays_d, tight, min_near)
+        hit = tn < 1e30
+        # fill_value=N -> padded entries drop out of the scatter below
+        (idx,) = jnp.nonzero(hit, size=C, fill_value=N)
+        inner = render_rays_radnerf(
+            field_fn,
+            jnp.take(rays_o, jnp.minimum(idx, N - 1), axis=0),
+            jnp.take(rays_d, jnp.minimum(idx, N - 1), axis=0),
+            occ,
+            bound=bound,
+            min_near=min_near,
+            dt_gamma=dt_gamma,
+            max_steps=max_steps,
+            grid_size=grid_size,
+            bg_color=0.0,
+            rng=rng,
+            T_thresh=T_thresh,
+            aabb=aabb,
+            density_scale=density_scale,
+            field_chunks=field_chunks,
+            mean_samples_per_ray=mean_samples_per_ray,
+        )
+        rgb = jnp.zeros((N, 3), jnp.float32).at[idx].set(
+            inner["rgb_map"], mode="drop"
+        )
+        ws = jnp.zeros((N,), jnp.float32).at[idx].set(
+            inner["weights_sum"], mode="drop"
+        )
+        depth = jnp.zeros((N,), jnp.float32).at[idx].set(
+            inner["depth_map"], mode="drop"
+        )
+        amb = jnp.zeros((N,), jnp.float32).at[idx].set(
+            inner["ambient_sum"], mode="drop"
+        )
+        image = jnp.clip(rgb + (1.0 - ws)[:, None] * bg_color, 0.0, 1.0)
+        return {
+            "rgb_map": image,
+            "depth_map": depth,
+            "weights_sum": ws,
+            "ambient_sum": amb,
+            "weights": None,
+            "n_samples": inner.get("n_samples"),
+            "n_culled_rays": N - jnp.sum(hit),
+        }
     if aabb is None:
         aabb = make_aabb(bound)
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, min_near)
@@ -426,6 +512,8 @@ def render_rays_radnerf_torso(
     rng: jax.Array | None = None,
     T_thresh: float = 1e-4,
     aabb: jax.Array | None = None,
+    mean_samples_per_ray: float | None = None,
+    ray_capacity: int | None = None,
 ) -> dict:
     """Head (frozen, stop-gradient) + torso composite
     (``radnerf_torso.py:86-199``): torso mixes with the background, then the
@@ -446,6 +534,8 @@ def render_rays_radnerf_torso(
         rng=rng,
         T_thresh=T_thresh,
         aabb=aabb,
+        mean_samples_per_ray=mean_samples_per_ray,
+        ray_capacity=ray_capacity,
     )
     head = jax.tree_util.tree_map(jax.lax.stop_gradient, head)
 

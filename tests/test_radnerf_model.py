@@ -125,6 +125,60 @@ def test_render_rays_end_to_end(model_and_params):
     assert float(out["weights_sum"].min()) >= 0
 
 
+def test_occupied_aabb_tight_box():
+    from geneface_tpu.models.radnerf.renderer import occupied_aabb
+
+    occ = init_occupancy(GRID, bound=1.0)
+    g = np.zeros((1, GRID, GRID, GRID), bool)
+    g[0, 10:14, 8:12, 16:20] = True  # occupied block
+    box = np.asarray(occupied_aabb(jnp.asarray(g), 1.0))
+    # box must contain the occupied cells (with margin) and be tight-ish
+    cell = 2.0 / GRID
+    assert box[0] <= (10 * cell - 1.0) and box[3] >= (14 * cell - 1.0)
+    assert box[0] >= -1.0 and box[3] <= 1.0
+    assert box[3] - box[0] < 1.0  # much tighter than the full box
+
+    # empty grid falls back to the full (make_aabb, half-height-y) box
+    from geneface_tpu.models.radnerf.renderer import make_aabb
+
+    empty = np.asarray(occupied_aabb(jnp.zeros_like(jnp.asarray(g)), 1.0))
+    np.testing.assert_allclose(empty, np.asarray(make_aabb(1.0)), atol=1e-5)
+
+
+def test_render_ray_capacity_matches_dense(model_and_params):
+    """Culled render (ray_capacity) ~= dense render on hit rays; culled
+    rays get pure background."""
+    model, params = model_and_params
+    occ = init_occupancy(GRID, bound=1.0)
+    g = np.zeros((1, GRID, GRID, GRID), bool)
+    g[0, 12:20, 12:20, 12:20] = True  # small occupied cube near origin
+    occ = occ._replace(occ_grid=jnp.asarray(g))
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -2.0
+    rays = get_rays(pose, (100, 100, 32, 32), 64, 64, n_rays=256,
+                    rng=np.random.RandomState(3))
+    cond_feat = jnp.ones((1, 16))
+
+    def field_fn(xyz, dirs):
+        return model.apply(params, xyz, dirs, cond_feat, jnp.zeros(4))
+
+    kw = dict(bound=1.0, min_near=0.05, dt_gamma=1 / 256, max_steps=16,
+              grid_size=GRID, bg_color=0.25)
+    ro, rd = jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"])
+    dense = render_rays_radnerf(field_fn, ro, rd, occ, **kw)
+    culled = render_rays_radnerf(field_fn, ro, rd, occ, ray_capacity=256, **kw)
+
+    a = np.asarray(dense["rgb_map"])
+    b = np.asarray(culled["rgb_map"])
+    np.testing.assert_allclose(a, b, atol=2e-3)
+    n_cull = int(culled["n_culled_rays"])
+    assert 0 <= n_cull < 256
+    # culled rays are exactly background
+    ws = np.asarray(culled["weights_sum"])
+    assert np.all(np.abs(b[ws == 0] - 0.25) < 1e-6)
+
+
 def test_render_gradients_flow(model_and_params):
     model, params = model_and_params
     occ = init_occupancy(GRID, bound=1.0)

@@ -82,6 +82,7 @@ def main():
             field_fn, rays_o, rays_d, occ, bg_color=bg,
             bound=1.0, min_near=0.05, dt_gamma=1.0 / 256, max_steps=16,
             grid_size=H,
+            mean_samples_per_ray=float(os.environ.get("GF_INFER_MSPR", 8)),
         )
         return out["rgb_map"]
 

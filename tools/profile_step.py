@@ -46,12 +46,30 @@ def main():
     rng = jax.random.PRNGKey(0)
     batches = task.train_batches(0)
     batch = next(batches)
-    for _ in range(2):
-        rng, k = jax.random.split(rng)
-        state, losses = task.train_step(state, next(batches), k)
-    jax.block_until_ready(losses["total_loss"])
+
+    # Analytic occupancy (same recipe as bench.py) instead of warmup train
+    # steps: skips the ~10 min full-step compile so single-stage runs
+    # (GF_STAGE=march etc.) start timing immediately.
+    import numpy as np
+
+    from geneface_tpu.models.radnerf.renderer import OccupancyState
+
+    Hg = cfg["grid_size"]
+    r = (np.arange(Hg) + 0.5) / Hg * 2.0 - 1.0
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    occ_np = np.sqrt(gx**2 + gy**2 + gz**2) < (0.13 + 4.0 / Hg)
+    density = np.where(occ_np, 4.0 * cfg["density_thresh"], 0.0).reshape(1, -1)
+    state["occ"] = OccupancyState(
+        density_grid=jnp.asarray(density, jnp.float32),
+        occ_grid=jnp.asarray(occ_np[None]),
+        mean_density=jnp.asarray(0.0, jnp.float32),
+    )
 
     params, occ = state["params"], state["occ"]
+    STAGE = os.environ.get("GF_STAGE", "all")
+
+    def want(name):
+        return STAGE in (name, "all")
     dbatch = task._device_batch(batch, 2)
     model = task.model
 
@@ -65,23 +83,24 @@ def main():
 
     aabb = make_aabb(1.0)
 
-    def stage_march(i, rays_o, rays_d, occ_grid):
-        ro = rays_o * (1.0 + i.astype(jnp.float32) * 1e-12)
-        nears, fars = near_far_from_aabb(ro, rays_d, aabb, 0.05)
-        noises = jnp.zeros((ro.shape[0],))
-        return march_rays_train(
-            ro, rays_d, occ_grid, nears, fars, noises,
-            bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1,
-            grid_size=128,
-        )
-    t = device_time(stage_march, rays_o, rays_d, occ.occ_grid, iters=5)
-    print(f"march:            {t*1e3:8.2f} ms", flush=True)
-    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
-    march = jax.jit(lambda: march_rays_train(
-        rays_o, rays_d, occ.occ_grid, nears, fars, jnp.zeros((n_rays,)),
-        bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1, grid_size=128,
-    ))()
-    print("  mean samples/ray:", float(march.valid.sum() / n_rays), flush=True)
+    if want('march'):
+        def stage_march(i, rays_o, rays_d, occ_grid):
+            ro = rays_o * (1.0 + i.astype(jnp.float32) * 1e-12)
+            nears, fars = near_far_from_aabb(ro, rays_d, aabb, 0.05)
+            noises = jnp.zeros((ro.shape[0],))
+            return march_rays_train(
+                ro, rays_d, occ_grid, nears, fars, noises,
+                bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1,
+                grid_size=128,
+            )
+        t = device_time(stage_march, rays_o, rays_d, occ.occ_grid, iters=5)
+        print(f"march:            {t*1e3:8.2f} ms", flush=True)
+        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
+        march = jax.jit(lambda: march_rays_train(
+            rays_o, rays_d, occ.occ_grid, nears, fars, jnp.zeros((n_rays,)),
+            bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1, grid_size=128,
+        ))()
+        print("  mean samples/ray:", float(march.valid.sum() / n_rays), flush=True)
 
     cond_feat = model.apply(params, ebatch["cond_wins"], method=model.cal_cond_feat)
     ind = params["params"]["individual_embeddings"][0]
@@ -90,28 +109,36 @@ def main():
     xyz = jax.random.uniform(jax.random.PRNGKey(1), (M, 3), minval=-0.5, maxval=0.5)
     dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (M, 1))
 
-    def stage_field(i, params, xyz, dirs, cond_feat, ind):
-        x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
-        return model.apply(params, x, dirs, cond_feat, ind)
-    t = device_time(stage_field, params, xyz, dirs, cond_feat, ind, iters=5)
-    print(f"field fwd ({M//1000}k): {t*1e3:8.2f} ms", flush=True)
+    if want('field'):
+        def stage_field(i, params, xyz, dirs, cond_feat, ind):
+            x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
+            return model.apply(params, x, dirs, cond_feat, ind)
+        t = device_time(stage_field, params, xyz, dirs, cond_feat, ind, iters=5)
+        print(f"field fwd ({M//1000}k): {t*1e3:8.2f} ms", flush=True)
 
-    def stage_field_bwd(i, params, xyz, dirs, cond_feat, ind):
-        x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
-        def loss(p):
-            s, rgb, amb = model.apply(p, x, dirs, cond_feat, ind)
-            return jnp.sum(s) + jnp.sum(rgb) + jnp.sum(amb)
-        return jax.grad(loss)(params)
-    t = device_time(stage_field_bwd, params, xyz, dirs, cond_feat, ind, iters=5)
-    print(f"field fwd+bwd:    {t*1e3:8.2f} ms", flush=True)
+    if want('field_bwd'):
+        def stage_field_bwd(i, params, xyz, dirs, cond_feat, ind):
+            x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
+            def loss(p):
+                s, rgb, amb = model.apply(p, x, dirs, cond_feat, ind)
+                return jnp.sum(s) + jnp.sum(rgb) + jnp.sum(amb)
+            return jax.grad(loss)(params)
+        t = device_time(stage_field_bwd, params, xyz, dirs, cond_feat, ind, iters=5)
+        print(f"field fwd+bwd:    {t*1e3:8.2f} ms", flush=True)
 
-    def stage_comp(i, sig, rgbs):
-        s = sig * (1.0 + i.astype(jnp.float32) * 1e-12)
-        return composite_rays(s, rgbs, march.dts, march.depth_ts, march.valid)
-    sig = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, 16))
-    rgbs = jax.random.uniform(jax.random.PRNGKey(3), (3, n_rays, 16))
-    t = device_time(stage_comp, sig, rgbs, iters=5)
-    print(f"composite:        {t*1e3:8.2f} ms", flush=True)
+    if want('comp'):
+        _dts = jnp.full((n_rays, 16), 1e-2)
+        _dpts = jnp.cumsum(_dts, axis=-1)
+        _valid = jnp.arange(16)[None, :] < 6
+        _valid = jnp.broadcast_to(_valid, (n_rays, 16))
+
+        def stage_comp(i, sig, rgbs):
+            s = sig * (1.0 + i.astype(jnp.float32) * 1e-12)
+            return composite_rays(s, rgbs, _dts, _dpts, _valid)
+        sig = jax.random.uniform(jax.random.PRNGKey(2), (n_rays, 16))
+        rgbs = jax.random.uniform(jax.random.PRNGKey(3), (3, n_rays, 16))
+        t = device_time(stage_comp, sig, rgbs, iters=5)
+        print(f"composite:        {t*1e3:8.2f} ms", flush=True)
 
     def _perturbed(i):
         # perturb a real input so XLA cannot hoist the body out of the
@@ -120,52 +147,56 @@ def main():
         b["pose_matrix"] = b["pose_matrix"] * (1.0 + i.astype(jnp.float32) * 1e-12)
         return b
 
-    def stage_loss(i, params, occ, rng):
-        return task._loss_fn(params, occ, _perturbed(i), rng, train=True)[0]
-    t = device_time(stage_loss, params, occ, rng, iters=5)
-    print(f"loss fwd:         {t*1e3:8.2f} ms", flush=True)
+    if want('loss'):
+        def stage_loss(i, params, occ, rng):
+            return task._loss_fn(params, occ, _perturbed(i), rng, train=True)[0]
+        t = device_time(stage_loss, params, occ, rng, iters=5)
+        print(f"loss fwd:         {t*1e3:8.2f} ms", flush=True)
 
-    def stage_grad(i, params, occ, rng):
-        return jax.grad(
-            lambda p: task._loss_fn(p, occ, _perturbed(i), rng, train=True)[0]
-        )(params)
-    t = device_time(stage_grad, params, occ, rng, iters=5)
-    print(f"loss fwd+bwd:     {t*1e3:8.2f} ms", flush=True)
+    if want('grad'):
+        def stage_grad(i, params, occ, rng):
+            return jax.grad(
+                lambda p: task._loss_fn(p, occ, _perturbed(i), rng, train=True)[0]
+            )(params)
+        t = device_time(stage_grad, params, occ, rng, iters=5)
+        print(f"loss fwd+bwd:     {t*1e3:8.2f} ms", flush=True)
 
     # full train step: chain N donated steps, block once at the end
-    def stage_occ(i, params, occ_dg, occ_og, occ_md, cond0, rng):
-        from geneface_tpu.models.radnerf.renderer import OccupancyState
-        o = OccupancyState(occ_dg * (1.0 + i.astype(jnp.float32) * 1e-12), occ_og, occ_md)
-        return task._occ_update_fn(params, o, cond0, rng)
-    t = device_time(
-        stage_occ, params, occ.density_grid, occ.occ_grid, occ.mean_density,
-        ebatch["cond_wins"], rng, iters=3,
-    )
-    print(f"occ update:       {t*1e3:8.2f} ms (every 16 steps)", flush=True)
+    if want('occ'):
+        def stage_occ(i, params, occ_dg, occ_og, occ_md, cond0, rng):
+            from geneface_tpu.models.radnerf.renderer import OccupancyState
+            o = OccupancyState(occ_dg * (1.0 + i.astype(jnp.float32) * 1e-12), occ_og, occ_md)
+            return task._occ_update_fn(params, o, cond0, rng)
+        t = device_time(
+            stage_occ, params, occ.density_grid, occ.occ_grid, occ.mean_density,
+            ebatch["cond_wins"], rng, iters=3,
+        )
+        print(f"occ update:       {t*1e3:8.2f} ms (every 16 steps)", flush=True)
 
     # full train step: chain N donated steps, block once at the end.
     # NOTE: donates params/opt_state — run last.
-    def full(state, batch, rng):
-        return task._train_step_fn(
-            state["params"], state["opt_state"], state["occ"], batch, rng
+    if want('step'):
+        def full(state, batch, rng):
+            return task._train_step_fn(
+                state["params"], state["opt_state"], state["occ"], batch, rng
+            )
+        p, o, losses = full(
+            {"params": state["params"], "opt_state": state["opt_state"], "occ": occ},
+            dbatch, rng,
         )
-    p, o, losses = full(
-        {"params": state["params"], "opt_state": state["opt_state"], "occ": occ},
-        dbatch, rng,
-    )
-    jax.block_until_ready(losses["total_loss"])
-    n = 20
-    t0 = time.time()
-    for _ in range(n):
-        p, o, losses = full({"params": p, "opt_state": o, "occ": occ}, dbatch, rng)
-    jax.block_until_ready(losses["total_loss"])
-    print(f"train step:       {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
-    # same but with a single pre-staged device batch (isolates per-step H2D)
-    t0 = time.time()
-    for _ in range(n):
-        p, o, losses = full({"params": p, "opt_state": o, "occ": occ}, dbatch, rng)
-    jax.block_until_ready(losses["total_loss"])
-    print(f"train step (hot): {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
+        jax.block_until_ready(losses["total_loss"])
+        n = 20
+        t0 = time.time()
+        for _ in range(n):
+            p, o, losses = full({"params": p, "opt_state": o, "occ": occ}, dbatch, rng)
+        jax.block_until_ready(losses["total_loss"])
+        print(f"train step:       {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
+        # same but with a single pre-staged device batch (isolates per-step H2D)
+        t0 = time.time()
+        for _ in range(n):
+            p, o, losses = full({"params": p, "opt_state": o, "occ": occ}, dbatch, rng)
+        jax.block_until_ready(losses["total_loss"])
+        print(f"train step (hot): {(time.time()-t0)/n*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

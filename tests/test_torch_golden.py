@@ -1,0 +1,242 @@
+"""Golden-value parity vs the PyTorch reference (SURVEY §4 implication (b)).
+
+These tests run the reference's *pure-torch* modules on CPU, convert their
+randomly-initialized weights through :mod:`geneface_tpu.utils.torch_import`,
+and assert our forward matches torch to float tolerance. This validates both
+the checkpoint-import mapping (layout transposes, key naming) and the model
+re-implementations themselves.
+
+Skipped when the reference checkout or torch is unavailable (the CUDA-bound
+modules — grid encoder, raymarching — are covered by formula-oracle unit
+tests instead; the reference RADNeRF class itself cannot be instantiated
+without CUDA).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout unavailable"
+)
+torch = pytest.importorskip("torch")
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from geneface_tpu.utils import torch_import as ti  # noqa: E402
+
+
+def _sd(mod, prefix):
+    return {f"{prefix}.{k}": v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+# ---------------------------------------------------------------- RADNeRF ----
+@pytest.fixture(scope="module")
+def radnerf_pair():
+    """Our RADNeRF (reference grid geometry) + a torch state_dict assembled
+    from the reference's pure-torch submodules (cond_encoder.py)."""
+    from modules.radnerfs.cond_encoder import MLP as TorchMLP
+    from modules.radnerfs.cond_encoder import AudioAttNet, AudioNet
+
+    from geneface_tpu.config import Config
+    from geneface_tpu.tasks.radnerf import model_from_cfg
+
+    torch.manual_seed(0)
+    cfg = Config(
+        cond_type="idexp_lm3d_normalized", cond_out_dim=64, cond_win_size=1,
+        smo_win_size=5, with_att=True, bound=1, grid_type="tiledgrid",
+        log2_hashmap_size=16, desired_resolution=256, grid_size=32,
+        grid_num_levels=16, grid_level_dim=2,
+        num_layers_ambient=3, hidden_dim_ambient=128, num_layers_sigma=3,
+        hidden_dim_sigma=128, geo_feat_dim=128, num_layers_color=2,
+        hidden_dim_color=128, individual_embedding_num=10,
+        individual_embedding_dim=4, grid_backend="reference",
+    )
+    model = model_from_cfg(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((5, 1, 204)), jnp.zeros((8, 3)),
+        jnp.zeros((8, 3)), method=model.init_all,
+    )
+    p = params["params"]
+
+    t_prenet = AudioNet(204, 64, win_size=1)
+    t_att = AudioAttNet(64, seq_len=5)
+    t_ambient = TorchMLP(p["ambient_net"]["Dense_0"]["kernel"].shape[0], 2, 128, 3)
+    t_sigma = TorchMLP(p["sigma_net"]["Dense_0"]["kernel"].shape[0], 129, 128, 3)
+    t_color = TorchMLP(p["color_net"]["Dense_0"]["kernel"].shape[0], 3, 128, 2)
+
+    sd = {}
+    sd.update(_sd(t_prenet, "cond_prenet"))
+    sd.update(_sd(t_att, "cond_att_net"))
+    sd.update(_sd(t_ambient, "ambient_net"))
+    sd.update(_sd(t_sigma, "sigma_net"))
+    sd.update(_sd(t_color, "color_net"))
+    rng = np.random.RandomState(1)
+    sd["position_embedder.embeddings"] = rng.uniform(
+        -1e-2, 1e-2, p["pos_embeddings"].shape
+    ).astype(np.float32)
+    sd["ambient_embedder.embeddings"] = rng.uniform(
+        -1e-2, 1e-2, p["ambient_embeddings"].shape
+    ).astype(np.float32)
+    sd["individual_embeddings"] = rng.randn(10, 4).astype(np.float32) * 0.1
+
+    imported = ti.radnerf_params_from_torch(sd, params)
+    torch_mods = dict(
+        prenet=t_prenet, att=t_att, ambient=t_ambient, sigma=t_sigma,
+        color=t_color,
+    )
+    return model, imported, sd, torch_mods
+
+
+def test_radnerf_cond_path_golden(radnerf_pair):
+    """cal_cond_feat (AudioNet → AudioAttNet) matches torch bit-for-float."""
+    model, params, _, tm = radnerf_pair
+    x = np.random.RandomState(2).randn(5, 1, 204).astype(np.float32)
+    with torch.no_grad():
+        feat = tm["prenet"](torch.from_numpy(x))
+        ref = tm["att"](feat).numpy()
+    ours = np.asarray(
+        model.apply(params, jnp.asarray(x), method=model.cal_cond_feat)
+    )[0]
+    np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+def test_radnerf_mlps_golden(radnerf_pair):
+    """The imported bias-free MLP stacks match torch on random inputs."""
+    from geneface_tpu.models.radnerf.cond_encoder import MLP as OurMLP
+
+    _, params, _, tm = radnerf_pair
+    rs = np.random.RandomState(3)
+    for name, tmod, dims in (
+        ("ambient_net", tm["ambient"], (2, 128, 3)),
+        ("sigma_net", tm["sigma"], (129, 128, 3)),
+        ("color_net", tm["color"], (3, 128, 2)),
+    ):
+        sub = params["params"][name]
+        din = sub["Dense_0"]["kernel"].shape[0]
+        x = rs.randn(7, din).astype(np.float32)
+        with torch.no_grad():
+            ref = tmod(torch.from_numpy(x)).numpy()
+        ours = OurMLP(
+            dim_out=dims[0], dim_hidden=dims[1], num_layers=dims[2],
+            dtype=jnp.float32,
+        ).apply({"params": sub}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5)
+
+
+def test_radnerf_embeddings_imported_verbatim(radnerf_pair):
+    _, params, sd, _ = radnerf_pair
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["pos_embeddings"]),
+        sd["position_embedder.embeddings"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["individual_embeddings"]),
+        sd["individual_embeddings"],
+    )
+
+
+def test_radnerf_import_shape_mismatch_hint():
+    """Wrong grid geometry raises with the config keys to fix."""
+    from geneface_tpu.config import Config
+    from geneface_tpu.tasks.radnerf import model_from_cfg
+
+    cfg = Config(
+        cond_type="idexp_lm3d_normalized", cond_out_dim=64, cond_win_size=1,
+        smo_win_size=5, with_att=False, bound=1, grid_type="tiledgrid",
+        log2_hashmap_size=16, desired_resolution=256, grid_num_levels=8,
+        grid_level_dim=4, num_layers_ambient=2, hidden_dim_ambient=32,
+        num_layers_sigma=2, hidden_dim_sigma=32, geo_feat_dim=32,
+        num_layers_color=2, hidden_dim_color=32, individual_embedding_num=4,
+        individual_embedding_dim=4,
+    )
+    model = model_from_cfg(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 1, 204)), jnp.zeros((8, 3)),
+        jnp.zeros((8, 3)), method=model.init_all,
+    )
+    sd = {"position_embedder.embeddings": np.zeros((999, 2), np.float32)}
+    with pytest.raises(ValueError, match="grid_num_levels"):
+        ti.radnerf_params_from_torch(sd, params)
+
+
+# ----------------------------------------------------------- NeRF backbone ----
+def test_nerf_backbone_golden():
+    from modules.nerfs.adnerf.backbone import NeRFBackbone as TorchBackbone
+
+    from geneface_tpu.models.nerf.backbone import NeRFBackbone
+
+    torch.manual_seed(1)
+    tb = TorchBackbone(pos_dim=63, cond_dim=64, view_dim=27, hid_dim=128)
+    ours = NeRFBackbone(hid_dim=128)
+    pos = np.random.RandomState(4).randn(3, 5, 63).astype(np.float32)
+    cond = np.random.RandomState(5).randn(64).astype(np.float32)
+    view = np.random.RandomState(6).randn(3, 27).astype(np.float32)
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(pos), jnp.asarray(cond),
+        jnp.asarray(view),
+    )
+    sd = {k: v.detach().numpy() for k, v in tb.state_dict().items()}
+    imported = ti.nerf_backbone_params_from_torch(sd, params)
+    with torch.no_grad():
+        ref = tb(
+            torch.from_numpy(pos), torch.from_numpy(cond), torch.from_numpy(view)
+        ).numpy()
+    got = np.asarray(
+        ours.apply(imported, jnp.asarray(pos), jnp.asarray(cond), jnp.asarray(view))
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+# -------------------------------------------------------- volume rendering ----
+def test_raw2outputs_golden():
+    from modules.nerfs.commons.volume_rendering import raw2outputs as t_raw2outputs
+
+    from geneface_tpu.ops.volume import raw2outputs
+
+    rs = np.random.RandomState(7)
+    N, S = 6, 16
+    raw = rs.randn(N, S, 4).astype(np.float32)
+    z = np.sort(rs.uniform(0.3, 0.9, (N, S)).astype(np.float32), axis=-1)
+    rd = rs.randn(N, 3).astype(np.float32)
+    bc = rs.uniform(0, 1, (N, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_rgb, t_disp, t_acc, t_w, t_depth, t_fg = t_raw2outputs(
+            torch.from_numpy(raw), torch.from_numpy(z), torch.from_numpy(rd),
+            torch.from_numpy(bc),
+        )
+    out = raw2outputs(
+        jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd), jnp.asarray(bc)
+    )
+    np.testing.assert_allclose(np.asarray(out["rgb_map"]), t_rgb.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights"]), t_w.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["depth_map"]), t_depth.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["acc_map"]), t_acc.numpy(), atol=1e-5)
+
+
+def test_sample_pdf_golden():
+    from modules.nerfs.commons.volume_rendering import sample_pdf as t_sample_pdf
+
+    from geneface_tpu.ops.volume import sample_pdf
+
+    rs = np.random.RandomState(8)
+    N, S = 4, 32
+    bins = np.sort(rs.uniform(0.3, 0.9, (N, S)).astype(np.float32), axis=-1)
+    weights = rs.uniform(0, 1, (N, S - 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = t_sample_pdf(
+            torch.from_numpy(bins), torch.from_numpy(weights), 24, det=True
+        ).numpy()
+    got = np.asarray(
+        sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 24, det=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)

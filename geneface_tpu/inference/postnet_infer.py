@@ -26,7 +26,9 @@ class PostnetInfer:
     def __init__(self, cfg):
         self.cfg = cfg
         self.vae = VAEModel(in_out_dim=204)
-        self.postnet = CNNPostNet(in_out_dim=204)
+        self.postnet = CNNPostNet(
+            in_out_dim=204, norm=cfg.get("postnet_norm", "ln")
+        )
 
         vae_ckpt = load_checkpoint(
             get_last_checkpoint(cfg["audio2motion_work_dir"])

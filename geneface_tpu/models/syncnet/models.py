@@ -22,6 +22,7 @@ class ConvBlock(nn.Module):
     stride: int = 1
     padding: int = 1
     residual: bool = False
+    norm: str = "ln"  # "ln" (TPU-native default) | "bn" (imported torch ckpts)
 
     @nn.compact
     def __call__(self, x):
@@ -29,20 +30,27 @@ class ConvBlock(nn.Module):
             self.cout, (self.kernel,), strides=(self.stride,),
             padding=((self.padding, self.padding),),
         )(x)
-        out = nn.LayerNorm()(out)
+        if self.norm == "bn":
+            # frozen running-stats BatchNorm = eval-mode semantics of the
+            # reference's Conv1d+BatchNorm1d (models.py:6-20), for importing
+            # reference-trained checkpoints
+            out = nn.BatchNorm(use_running_average=True, epsilon=1e-5)(out)
+        else:
+            out = nn.LayerNorm()(out)
         if self.residual:
             out = out + x
         return nn.relu(out)
 
 
-def _tower(x, plan):
+def _tower(x, plan, norm):
     for cout, k, s, p, res in plan:
-        x = ConvBlock(cout, k, s, p, res)(x)
+        x = ConvBlock(cout, k, s, p, res, norm)(x)
     return x
 
 
 class LandmarkHubertSyncNet(nn.Module):
     lm_dim: int = 60  # mouth-only landmarks 20*3; 204 for full-face variant
+    norm: str = "ln"
 
     @nn.compact
     def __call__(self, hubert, mouth_lm):
@@ -62,8 +70,8 @@ class LandmarkHubertSyncNet(nn.Module):
             (512, 3, 1, 1, False), (512, 3, 1, 1, True), (512, 3, 1, 1, True),
             (512, 3, 1, 1, False), (512, 3, 1, 0, False), (512, 1, 1, 0, False),
         ]
-        a = _tower(hubert, audio_plan).reshape(hubert.shape[0], -1)
-        m = _tower(mouth_lm, mouth_plan).reshape(mouth_lm.shape[0], -1)
+        a = _tower(hubert, audio_plan, self.norm).reshape(hubert.shape[0], -1)
+        m = _tower(mouth_lm, mouth_plan, self.norm).reshape(mouth_lm.shape[0], -1)
         a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-8)
         m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-8)
         return a, m

@@ -66,7 +66,9 @@ class VAESyncAudio2MotionTask(Task):
         )
 
         # frozen syncnet from its experiment dir (lm3d_vae_sync.py:27-40)
-        self.syncnet = LandmarkHubertSyncNet(lm_dim=60)
+        self.syncnet = LandmarkHubertSyncNet(
+            lm_dim=60, norm=self.cfg.get("syncnet_norm", "ln")
+        )
         sync_dir = cfg.get("syncnet_work_dir", "")
         if sync_dir:
             ckpt = load_checkpoint(get_last_checkpoint(sync_dir) or sync_dir)

@@ -33,7 +33,9 @@ __all__ = ["PostnetAdvSyncTask"]
 class PostnetAdvSyncTask(Task):
     def build(self):
         cfg = self.cfg
-        self.model = CNNPostNet(in_out_dim=204)
+        self.model = CNNPostNet(
+            in_out_dim=204, norm=self.cfg.get("postnet_norm", "ln")
+        )
         self.disc = MLPDiscriminator(in_dim=204)
 
         lrs3_dir = cfg.get("lrs3_data_dir") or cfg.get(
@@ -74,7 +76,9 @@ class PostnetAdvSyncTask(Task):
             self.vae_params = self.vae.init(
                 jax.random.PRNGKey(0), dummy, jax.random.PRNGKey(1)
             )
-        self.syncnet = LandmarkHubertSyncNet(lm_dim=60)
+        self.syncnet = LandmarkHubertSyncNet(
+            lm_dim=60, norm=self.cfg.get("syncnet_norm", "ln")
+        )
         sync_dir = cfg.get("syncnet_work_dir", "")
         if sync_dir:
             ckpt = load_checkpoint(get_last_checkpoint(sync_dir) or sync_dir)

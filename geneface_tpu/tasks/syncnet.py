@@ -101,7 +101,10 @@ def gather_clips(mouth, hubert, item_idx, mouth_start, mel_item, mel_start):
 class SyncNetTask(Task):
     def build(self):
         cfg = self.cfg
-        self.model = LandmarkHubertSyncNet(lm_dim=cfg.get("syncnet_lm_dim", 60))
+        self.model = LandmarkHubertSyncNet(
+            lm_dim=cfg.get("syncnet_lm_dim", 60),
+            norm=cfg.get("syncnet_norm", "ln"),
+        )
         data_dir = cfg.get("data_dir") or cfg.get("binary_data_dir", "data/binary/lrs3")
         self.train_ds = LRS3SeqDataset(
             "train", data_dir, max_tokens=cfg.get("max_tokens", 60000)

@@ -37,6 +37,8 @@ __all__ = [
     "load_reference_checkpoint",
     "radnerf_params_from_torch",
     "nerf_backbone_params_from_torch",
+    "postnet_params_from_torch",
+    "syncnet_params_from_torch",
     "occupancy_from_torch",
     "torso_density_grid_from_torch",
 ]
@@ -308,3 +310,79 @@ def torso_density_grid_from_torch(sd: Mapping, grid_size: int) -> np.ndarray:
     return np.asarray(sd["density_grid_torso"], np.float32).reshape(
         grid_size, grid_size
     )
+
+
+# ---------------------------------------------------- BN-block families ----
+def _import_convbn(sd, params, stats, t_key, f_block, conv_name="Conv_0",
+                   bn_name="BatchNorm_0"):
+    """One reference ``Conv1d`` block (conv + BatchNorm1d,
+    ``modules/postnet/models.py:8-18`` / ``modules/syncnet/models.py:6-20``)
+    → our ConvBlock with ``norm='bn'`` (params + batch_stats)."""
+    _assign(params, (f_block, conv_name, "kernel"),
+            _conv1d(sd, f"{t_key}.conv_block.0.weight"),
+            f"{t_key}.conv_block.0.weight")
+    _assign(params, (f_block, conv_name, "bias"),
+            _arr(sd, f"{t_key}.conv_block.0.bias"), f"{t_key}.conv_block.0.bias")
+    _assign(params, (f_block, bn_name, "scale"),
+            _arr(sd, f"{t_key}.conv_block.1.weight"),
+            f"{t_key}.conv_block.1.weight")
+    _assign(params, (f_block, bn_name, "bias"),
+            _arr(sd, f"{t_key}.conv_block.1.bias"), f"{t_key}.conv_block.1.bias")
+    _assign(stats, (f_block, bn_name, "mean"),
+            _arr(sd, f"{t_key}.conv_block.1.running_mean"),
+            f"{t_key}.conv_block.1.running_mean")
+    _assign(stats, (f_block, bn_name, "var"),
+            _arr(sd, f"{t_key}.conv_block.1.running_var"),
+            f"{t_key}.conv_block.1.running_var")
+
+
+_BN_HINT = "Build the model with norm='bn' to import reference checkpoints."
+
+
+def postnet_params_from_torch(sd: Mapping, variables) -> dict:
+    """torch ``CNNPostNet``/``PitchContourCNNPostNet``
+    (``modules/postnet/models.py:20-75``) → Flax variables.
+
+    ``variables`` must come from a model built with ``norm='bn'`` (so it has
+    a ``batch_stats`` collection).
+    """
+    tree = _to_mutable(variables)
+    if "batch_stats" not in tree:
+        raise ValueError(f"variables have no batch_stats. {_BN_HINT}")
+    core = "_RefinerCore_0"
+    params = tree["params"][core]
+    stats = tree["batch_stats"][core]
+    blocks = (
+        [(f"block1.{i}", f"_ConvBlock_{i}") for i in range(3)]
+        + [(f"block2.{i}", f"_ConvBlock_{3 + i}") for i in range(3)]
+        + [("block3.0", "_ConvBlock_6")]
+    )
+    for t_key, f_block in blocks:
+        _import_convbn(
+            sd, {f_block: params[f_block]}, {f_block: stats[f_block]},
+            t_key, f_block,
+        )
+    _assign(params, ("Conv_0", "kernel"), _conv1d(sd, "block3.1.weight"),
+            "block3.1.weight")
+    _assign(params, ("Conv_0", "bias"), _arr(sd, "block3.1.bias"),
+            "block3.1.bias")
+    return _finalize(tree)
+
+
+def syncnet_params_from_torch(sd: Mapping, variables) -> dict:
+    """torch ``LandmarkHubertSyncNet`` (``modules/syncnet/models.py:22-79``)
+    → Flax variables (model built with ``norm='bn'``).
+
+    Flax block numbering: the audio tower is traced first → ConvBlock_0..12
+    = ``hubert_encoder.0..12``, ConvBlock_13..25 = ``mouth_encoder.0..12``.
+    """
+    tree = _to_mutable(variables)
+    if "batch_stats" not in tree:
+        raise ValueError(f"variables have no batch_stats. {_BN_HINT}")
+    params, stats = tree["params"], tree["batch_stats"]
+    for i in range(13):
+        _import_convbn(sd, params, stats, f"hubert_encoder.{i}", f"ConvBlock_{i}")
+        _import_convbn(
+            sd, params, stats, f"mouth_encoder.{i}", f"ConvBlock_{13 + i}"
+        )
+    return _finalize(tree)

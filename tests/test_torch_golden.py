@@ -240,3 +240,62 @@ def test_sample_pdf_golden():
         sample_pdf(jnp.asarray(bins), jnp.asarray(weights), 24, det=True)
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+# ----------------------------------------------------------------- postnet ----
+def test_postnet_golden():
+    from modules.postnet.models import CNNPostNet as TorchPostNet
+
+    from geneface_tpu.models.postnet.models import CNNPostNet
+
+    torch.manual_seed(2)
+    tp = TorchPostNet(in_out_dim=204).eval()
+    # give the BN running stats non-trivial values
+    with torch.no_grad():
+        for m in tp.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    ours = CNNPostNet(in_out_dim=204, norm="bn")
+    x = np.random.RandomState(9).randn(2, 9, 204).astype(np.float32)
+    x[1, 6:] = 0.0  # padded frames exercise the mask path
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    sd = {k: v.detach().numpy() for k, v in tp.state_dict().items()}
+    imported = ti.postnet_params_from_torch(sd, variables)
+    with torch.no_grad():
+        ref = tp(torch.from_numpy(x)).numpy()
+    got = np.asarray(ours.apply(imported, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+# ----------------------------------------------------------------- syncnet ----
+def test_syncnet_golden():
+    from modules.syncnet.models import LandmarkHubertSyncNet as TorchSyncNet
+
+    from geneface_tpu.models.syncnet.models import LandmarkHubertSyncNet
+
+    torch.manual_seed(3)
+    ts = TorchSyncNet(lm_dim=60).eval()
+    with torch.no_grad():
+        for m in ts.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+    ours = LandmarkHubertSyncNet(lm_dim=60, norm="bn")
+    rs = np.random.RandomState(10)
+    hubert = rs.randn(2, 10, 1024).astype(np.float32)
+    mouth = rs.randn(2, 5, 60).astype(np.float32)
+    variables = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(hubert), jnp.asarray(mouth)
+    )
+    sd = {k: v.detach().numpy() for k, v in ts.state_dict().items()}
+    imported = ti.syncnet_params_from_torch(sd, variables)
+    with torch.no_grad():
+        ref_a, ref_m = ts(torch.from_numpy(hubert), torch.from_numpy(mouth))
+    got_a, got_m = ours.apply(
+        imported, jnp.asarray(hubert), jnp.asarray(mouth)
+    )
+    np.testing.assert_allclose(np.asarray(got_a), ref_a.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_m), ref_m.numpy(), atol=3e-5)

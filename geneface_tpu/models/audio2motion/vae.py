@@ -185,16 +185,22 @@ def _downsample2(x):
 
 class _CondConvEncoder(nn.Module):
     """HuBERT 1024 → 64 conv stack w/ BN+GELU (``vae.py:281-286``).
-    BatchNorm is replaced by LayerNorm (batch statistics are hostile to
-    pjit-sharded batches; same normalization capability)."""
+    Default ``norm='ln'``: BatchNorm replaced by LayerNorm (batch statistics
+    are hostile to pjit-sharded batches; same normalization capability).
+    ``norm='bn'`` keeps frozen running-stats BatchNorm — exact eval-mode
+    reference semantics for imported torch checkpoints."""
 
     out_dim: int = 64
+    norm: str = "ln"
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(64, (3,), padding="SAME", use_bias=False)(x)
-        x = nn.LayerNorm()(x)
-        x = nn.gelu(x)
+        if self.norm == "bn":
+            x = nn.BatchNorm(use_running_average=True, epsilon=1e-5)(x)
+        else:
+            x = nn.LayerNorm()(x)
+        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
         return nn.Conv(self.out_dim, (3,), padding="SAME", use_bias=False)(x)
 
 
@@ -204,9 +210,10 @@ class VAEModel(nn.Module):
     in_out_dim: int = 64
     sqz_prior: bool = False
     use_prior_flow: bool = True
+    norm: str = "ln"
 
     def setup(self):
-        self.mel_encoder = _CondConvEncoder(64)
+        self.mel_encoder = _CondConvEncoder(64, self.norm)
         self.vae = FVAE(
             in_out_channels=self.in_out_dim, hidden_channels=256, latent_size=16,
             kernel_size=5, enc_n_layers=8, dec_n_layers=4, gin_channels=64,
@@ -241,11 +248,12 @@ class PitchContourVAEModel(nn.Module):
     in_out_dim: int = 64
     sqz_prior: bool = False
     use_prior_flow: bool = True
+    norm: str = "ln"
 
     def setup(self):
-        self.mel_encoder = _CondConvEncoder(64)
+        self.mel_encoder = _CondConvEncoder(64, self.norm)
         self.pitch_embed = nn.Embed(300, 64)
-        self.pitch_encoder = _CondConvEncoder(32)
+        self.pitch_encoder = _CondConvEncoder(32, self.norm)
         self.vae = FVAE(
             in_out_channels=self.in_out_dim, hidden_channels=256, latent_size=16,
             kernel_size=5, enc_n_layers=8, dec_n_layers=4, gin_channels=96,

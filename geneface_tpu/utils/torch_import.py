@@ -39,6 +39,8 @@ __all__ = [
     "nerf_backbone_params_from_torch",
     "postnet_params_from_torch",
     "syncnet_params_from_torch",
+    "fvae_params_from_torch",
+    "vae_model_params_from_torch",
     "occupancy_from_torch",
     "torso_density_grid_from_torch",
 ]
@@ -385,4 +387,157 @@ def syncnet_params_from_torch(sd: Mapping, variables) -> dict:
         _import_convbn(
             sd, params, stats, f"mouth_encoder.{i}", f"ConvBlock_{13 + i}"
         )
+    return _finalize(tree)
+
+
+# ------------------------------------------------------------ FVAE / VAE ----
+def _wn_conv(sd: Mapping, key: str) -> np.ndarray:
+    """Fold a weight-normed torch Conv1d (``torch.nn.utils.weight_norm``,
+    ``flow_base.py:46-64``) into a plain flax kernel: per-output-channel
+    ``w = g * v / ||v||`` over (in, k), then [out,in,k] → [k,in,out]."""
+    v = np.asarray(sd[f"{key}.weight_v"], np.float64)
+    gkey = f"{key}.weight_g"
+    if gkey not in sd and f"{key}.weight" in sd:  # not weight-normed after all
+        return _conv1d(sd, f"{key}.weight")
+    g = np.asarray(sd[gkey], np.float64)
+    norm = np.sqrt((v**2).sum(axis=(1, 2), keepdims=True))
+    w = (g * v / np.maximum(norm, 1e-12)).astype(np.float32)
+    return w.transpose(2, 1, 0)
+
+
+def _convT1d(sd: Mapping, key: str) -> np.ndarray:
+    """torch ConvTranspose1d weight [in, out, k] → flax [k, in, out]."""
+    return np.asarray(sd[key]).transpose(2, 0, 1)
+
+
+def _import_wn(sd, out, prefix_t, n_layers, has_cond=True):
+    """torch ``WN`` (``flow_base.py:21-120``) → our ``WN`` submodule dict."""
+    if has_cond and f"{prefix_t}.cond_layer.weight_v" in sd:
+        _assign(out, ("cond_layer", "kernel"),
+                _wn_conv(sd, f"{prefix_t}.cond_layer"),
+                f"{prefix_t}.cond_layer.weight_v")
+        _assign(out, ("cond_layer", "bias"),
+                _arr(sd, f"{prefix_t}.cond_layer.bias"),
+                f"{prefix_t}.cond_layer.bias")
+    for i in range(n_layers):
+        _assign(out, (f"in_{i}", "kernel"),
+                _wn_conv(sd, f"{prefix_t}.in_layers.{i}"),
+                f"{prefix_t}.in_layers.{i}.weight_v")
+        _assign(out, (f"in_{i}", "bias"),
+                _arr(sd, f"{prefix_t}.in_layers.{i}.bias"),
+                f"{prefix_t}.in_layers.{i}.bias")
+        _assign(out, (f"res_skip_{i}", "kernel"),
+                _wn_conv(sd, f"{prefix_t}.res_skip_layers.{i}"),
+                f"{prefix_t}.res_skip_layers.{i}.weight_v")
+        _assign(out, (f"res_skip_{i}", "bias"),
+                _arr(sd, f"{prefix_t}.res_skip_layers.{i}.bias"),
+                f"{prefix_t}.res_skip_layers.{i}.bias")
+
+
+def _wn_layers(sd, prefix_t):
+    return len({
+        k.split(".")[-2]
+        for k in sd if k.startswith(f"{prefix_t}.in_layers.")
+    })
+
+
+def fvae_params_from_torch(sd: Mapping, params: dict, prefix_t: str = "") -> dict:
+    """torch ``FVAE`` (``modules/audio2motion/vae.py:149-268``) → our FVAE
+    params dict (mutated in place and returned; pass the ``'params'`` subtree
+    of the template). ``prefix_t`` e.g. ``"vae."`` inside a VAEModel."""
+    out = params
+
+    def t(key):
+        return f"{prefix_t}{key}"
+
+    # g_pre_net: Sequential with one strided conv per stride
+    _assign(out, ("g_pre_net", "kernel"), _conv1d(sd, t("g_pre_net.0.weight")),
+            t("g_pre_net.0.weight"))
+    _assign(out, ("g_pre_net", "bias"), _arr(sd, t("g_pre_net.0.bias")),
+            t("g_pre_net.0.bias"))
+
+    # encoder
+    enc = out["encoder"]
+    _assign(enc, ("pre_0", "kernel"), _conv1d(sd, t("encoder.pre_net.0.weight")),
+            t("encoder.pre_net.0.weight"))
+    _assign(enc, ("pre_0", "bias"), _arr(sd, t("encoder.pre_net.0.bias")),
+            t("encoder.pre_net.0.bias"))
+    _import_wn(sd, enc["wn"], t("encoder.wn"), _wn_layers(sd, t("encoder.wn")))
+    _assign(enc, ("out", "kernel"), _conv1d(sd, t("encoder.out_proj.weight")),
+            t("encoder.out_proj.weight"))
+    _assign(enc, ("out", "bias"), _arr(sd, t("encoder.out_proj.bias")),
+            t("encoder.out_proj.bias"))
+
+    # decoder (ConvTranspose pre-net)
+    dec = out["decoder"]
+    _assign(dec, ("pre_0", "kernel"), _convT1d(sd, t("decoder.pre_net.0.weight")),
+            t("decoder.pre_net.0.weight"))
+    _assign(dec, ("pre_0", "bias"), _arr(sd, t("decoder.pre_net.0.bias")),
+            t("decoder.pre_net.0.bias"))
+    _import_wn(sd, dec["wn"], t("decoder.wn"), _wn_layers(sd, t("decoder.wn")))
+    _assign(dec, ("out", "kernel"), _conv1d(sd, t("decoder.out_proj.weight")),
+            t("decoder.out_proj.weight"))
+    _assign(dec, ("out", "bias"), _arr(sd, t("decoder.out_proj.bias")),
+            t("decoder.out_proj.bias"))
+
+    # prior flow: torch flows.{2i} are the couplings (odd ones are Flips)
+    if "prior_flow" in out:
+        pf = out["prior_flow"]
+        n_flows = sum(1 for k in pf if k.startswith("couplings_"))
+        for i in range(n_flows):
+            cp = pf[f"couplings_{i}"]
+            fk = t(f"prior_flow.flows.{2 * i}")
+            _assign(cp, ("pre", "kernel"), _conv1d(sd, f"{fk}.pre.weight"),
+                    f"{fk}.pre.weight")
+            _assign(cp, ("pre", "bias"), _arr(sd, f"{fk}.pre.bias"),
+                    f"{fk}.pre.bias")
+            _import_wn(sd, cp["enc"], f"{fk}.enc", _wn_layers(sd, f"{fk}.enc"))
+            _assign(cp, ("Conv_0", "kernel"), _conv1d(sd, f"{fk}.post.weight"),
+                    f"{fk}.post.weight")
+            _assign(cp, ("Conv_0", "bias"), _arr(sd, f"{fk}.post.bias"),
+                    f"{fk}.post.bias")
+
+    # sqz_prior style attention
+    for name in ("query_proj", "key_proj", "value_proj"):
+        if name in out and t(f"{name}.weight") in sd:
+            _assign(out, (name, "kernel"), _lin(sd, t(f"{name}.weight")),
+                    t(f"{name}.weight"))
+            _assign(out, (name, "bias"), _arr(sd, t(f"{name}.bias")),
+                    t(f"{name}.bias"))
+    return out
+
+
+def _import_cond_conv_encoder(sd, params, stats, prefix_t, prefix_f):
+    """torch mel/pitch encoder Sequential (conv-BN-GELU-conv, bias-free convs,
+    ``vae.py:278-286``) → our ``_CondConvEncoder`` with ``norm='bn'``."""
+    _assign(params, (prefix_f, "Conv_0", "kernel"),
+            _conv1d(sd, f"{prefix_t}.0.weight"), f"{prefix_t}.0.weight")
+    _assign(params, (prefix_f, "BatchNorm_0", "scale"),
+            _arr(sd, f"{prefix_t}.1.weight"), f"{prefix_t}.1.weight")
+    _assign(params, (prefix_f, "BatchNorm_0", "bias"),
+            _arr(sd, f"{prefix_t}.1.bias"), f"{prefix_t}.1.bias")
+    _assign(stats, (prefix_f, "BatchNorm_0", "mean"),
+            _arr(sd, f"{prefix_t}.1.running_mean"), f"{prefix_t}.1.running_mean")
+    _assign(stats, (prefix_f, "BatchNorm_0", "var"),
+            _arr(sd, f"{prefix_t}.1.running_var"), f"{prefix_t}.1.running_var")
+    _assign(params, (prefix_f, "Conv_1", "kernel"),
+            _conv1d(sd, f"{prefix_t}.3.weight"), f"{prefix_t}.3.weight")
+
+
+def vae_model_params_from_torch(sd: Mapping, variables) -> dict:
+    """torch ``VAEModel`` / ``PitchContourVAEModel``
+    (``modules/audio2motion/vae.py:271-418``) → Flax variables (model built
+    with ``norm='bn'``)."""
+    tree = _to_mutable(variables)
+    if "batch_stats" not in tree:
+        raise ValueError(f"variables have no batch_stats. {_BN_HINT}")
+    params, stats = tree["params"], tree["batch_stats"]
+    _import_cond_conv_encoder(sd, params, stats, "mel_encoder", "mel_encoder")
+    if "pitch_encoder" in params and "pitch_encoder.0.weight" in sd:
+        _import_cond_conv_encoder(
+            sd, params, stats, "pitch_encoder", "pitch_encoder"
+        )
+        _assign(params, ("pitch_embed", "embedding"),
+                _arr(sd, "pitch_embed.weight"), "pitch_embed.weight")
+    fvae_params_from_torch(sd, params["vae"], prefix_t="vae.")
     return _finalize(tree)

@@ -299,3 +299,50 @@ def test_syncnet_golden():
     )
     np.testing.assert_allclose(np.asarray(got_a), ref_a.numpy(), atol=3e-5)
     np.testing.assert_allclose(np.asarray(got_m), ref_m.numpy(), atol=3e-5)
+
+
+# ------------------------------------------------------------------- VAE ----
+def test_vae_model_golden():
+    """VAEModel: posterior stats (train) and temperature-0 generation (infer,
+    deterministic through the inverted prior flow) match torch."""
+    from modules.audio2motion.vae import VAEModel as TorchVAEModel
+
+    from geneface_tpu.models.audio2motion.vae import VAEModel
+
+    torch.manual_seed(4)
+    tv = TorchVAEModel(in_out_dim=64, use_prior_flow=True).eval()
+    with torch.no_grad():
+        for m in tv.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+    rs = np.random.RandomState(11)
+    T = 32
+    hubert = rs.randn(1, 2 * T, 1024).astype(np.float32)
+    y = rs.randn(1, T, 64).astype(np.float32)
+    mask = np.ones((1, T), np.float32)
+    batch = {"hubert": jnp.asarray(hubert), "y": jnp.asarray(y),
+             "y_mask": jnp.asarray(mask)}
+
+    ours = VAEModel(in_out_dim=64, use_prior_flow=True, norm="bn")
+    variables = ours.init(jax.random.PRNGKey(0), batch, jax.random.PRNGKey(1))
+    sd = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+    imported = ti.vae_model_params_from_torch(sd, variables)
+
+    tb = {"hubert": torch.from_numpy(hubert), "y": torch.from_numpy(y),
+          "y_mask": torch.from_numpy(mask)}
+    with torch.no_grad():
+        _, _, m_q, logs_q = tv(tb, {}, train=True, return_latent=True)
+    out = ours.apply(imported, batch, jax.random.PRNGKey(2), train=True)
+    # torch forward returns m_q already transposed to [B, T_sqz, C]
+    np.testing.assert_allclose(np.asarray(out["m_q"]), m_q.numpy(), atol=5e-5)
+
+    with torch.no_grad():
+        ref_recon = tv(tb, {}, train=False, temperature=0.0).numpy()
+    got = ours.apply(
+        imported, batch, jax.random.PRNGKey(3), train=False, temperature=0.0
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["pred"]), ref_recon, atol=1e-4, rtol=1e-4
+    )

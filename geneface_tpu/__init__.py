@@ -17,4 +17,33 @@ GeneFace (audio → 3D landmarks → NeRF-rendered talking-head video):
 
 __version__ = "0.1.0"
 
-from geneface_tpu.config import Config, load_config  # noqa: F401
+import os as _os
+
+
+def _enable_persistent_compile_cache():
+    """Cache XLA executables across processes (the RAD-NeRF train step takes
+    minutes to compile on TPU; the cache turns repeat launches into ms).
+
+    Opt-out via ``GENEFACE_NO_COMPILE_CACHE=1``. Safe to call before or after
+    backends initialize — it only sets jax config values.
+    """
+    if _os.environ.get("GENEFACE_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/geneface_tpu/xla_cache"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
+from geneface_tpu.config import Config, load_config  # noqa: F401, E402

@@ -6,6 +6,7 @@ from geneface_tpu.parallel.mesh import (  # noqa: F401
     host_local_slice,
     initialize_distributed,
     make_mesh,
+    put_sharded,
     replicated,
     shard_batch,
 )

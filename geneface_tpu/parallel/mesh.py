@@ -76,17 +76,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any, axis: int = 0) -> Any:
-    """Device-put every array leaf of ``batch`` sharded over the data axis.
+def put_sharded(mesh: Mesh, x: Any, sharding: NamedSharding) -> Any:
+    """Place one array with ``sharding``; works single- and multi-process.
 
-    Scalar / low-rank leaves (rank <= axis) are replicated.
+    Single process: a plain ``device_put``. Multi-host: every host holds the
+    full global array (the datasets are per-video numpy stores replicated on
+    each host), so each addressable shard is materialized via
+    ``make_array_from_callback`` — no cross-host transfer.
+    """
+    x = np.asarray(x) if not hasattr(x, "ndim") else x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: int = 0) -> Any:
+    """Place every array leaf of ``batch`` sharded over the data axis.
+
+    Scalar / low-rank / non-divisible leaves (rank <= axis or leading dim not
+    divisible by the mesh) are replicated.
     """
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "ndim") else x
         if x.ndim > axis and x.shape[axis] % mesh.shape[DATA_AXIS] == 0:
-            return jax.device_put(x, data_sharding(mesh, x.ndim, axis))
-        return jax.device_put(x, replicated(mesh))
+            return put_sharded(mesh, x, data_sharding(mesh, x.ndim, axis))
+        return put_sharded(mesh, x, replicated(mesh))
 
     return jax.tree_util.tree_map(put, batch)
 

@@ -23,6 +23,7 @@ from geneface_tpu.data.lrs3_dataset import LRS3SeqDataset
 from geneface_tpu.models.audio2motion import PitchContourVAEModel, VAEModel
 from geneface_tpu.models.syncnet import LandmarkHubertSyncNet, sync_loss
 from geneface_tpu.tasks.syncnet import gather_clips, mine_sync_clips
+from geneface_tpu.training.optim import finalize_optimizer
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.training.trainer import Task
 from geneface_tpu.utils import get_last_checkpoint, load_checkpoint
@@ -81,8 +82,11 @@ class VAESyncAudio2MotionTask(Task):
             )
 
         schedule = build_schedule(cfg)
-        self.tx = optax.adam(schedule, b1=cfg.get("optimizer_adam_beta1", 0.9),
-                             b2=cfg.get("optimizer_adam_beta2", 0.999))
+        self.tx = finalize_optimizer(
+            optax.adam(schedule, b1=cfg.get("optimizer_adam_beta1", 0.9),
+                       b2=cfg.get("optimizer_adam_beta2", 0.999)),
+            cfg,
+        )
         opt_state = self.tx.init(params)
         self._build_jits()
         return {"params": params, "opt_state": opt_state}

@@ -20,6 +20,7 @@ import numpy as np
 import optax
 
 from geneface_tpu.models.audio2pose import Audio2PoseModel, gmm_log_loss
+from geneface_tpu.training.optim import finalize_optimizer
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.training.trainer import Task
 from geneface_tpu.utils.indexed_dataset import IndexedDataset
@@ -89,7 +90,7 @@ class Audio2PoseTask(Task):
             jnp.zeros((1, L, cfg.get("audio_in_dim", 58))),
             jnp.zeros((1, L, 12)),
         )
-        self.tx = optax.adam(build_schedule(cfg))
+        self.tx = finalize_optimizer(optax.adam(build_schedule(cfg)), cfg)
         opt_state = self.tx.init(params)
         self._build_jits()
         return {"params": params, "opt_state": opt_state}

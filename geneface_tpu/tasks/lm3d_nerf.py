@@ -19,7 +19,7 @@ import optax
 from geneface_tpu.data.nerf_dataset import NeRFDataset
 from geneface_tpu.models.nerf import ADNeRF, ADNeRFTorso, Lm3dNeRF
 from geneface_tpu.ops import render_rays
-from geneface_tpu.training.optim import label_params
+from geneface_tpu.training.optim import finalize_optimizer, label_params
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.training.trainer import Task
 from geneface_tpu.utils import get_last_checkpoint, load_checkpoint, restore_partial
@@ -79,8 +79,12 @@ class Lm3dNeRFTask(Task):
                 optax.scale_by_learning_rate(lambda s: schedule(s) * mult),
             )
 
-        self.tx = optax.multi_transform(
-            {"net": group(1.0), "att": group(5.0)}, label_params(params, label)
+        self.tx = finalize_optimizer(
+            optax.multi_transform(
+                {"net": group(1.0), "att": group(5.0)},
+                label_params(params, label),
+            ),
+            cfg,
         )
         opt_state = self.tx.init(params)
         self._step = 0
@@ -148,9 +152,11 @@ class Lm3dNeRFTask(Task):
             and self._step >= self.cfg.get("no_smo_iterations", 0)
         )
 
+    data_batch_keys = ("rays_o", "rays_d", "gt_img", "bg_img")
+
     def _device_batch(self, batch):
-        keys = ("rays_o", "rays_d", "gt_img", "bg_img", "cond", "cond_wins")
-        return {k: jnp.asarray(batch[k]) for k in keys}
+        keys = self.data_batch_keys + ("cond", "cond_wins")
+        return self.place_batch({k: batch[k] for k in keys})
 
     def train_step(self, state, batch, rng):
         params, opt_state, losses = self._train_step_fn(
@@ -272,8 +278,12 @@ class Lm3dNeRFTorsoTask(Lm3dNeRFTask):
                 optax.scale_by_learning_rate(lambda s: schedule(s) * mult),
             )
 
-        self.tx = optax.multi_transform(
-            {"net": group(1.0), "att": group(5.0)}, label_params(params, label)
+        self.tx = finalize_optimizer(
+            optax.multi_transform(
+                {"net": group(1.0), "att": group(5.0)},
+                label_params(params, label),
+            ),
+            cfg,
         )
         opt_state = self.tx.init(params)
         self._step = 0
@@ -355,12 +365,13 @@ class Lm3dNeRFTorsoTask(Lm3dNeRFTask):
         losses["com_psnr"] = -10.0 * jnp.log(mse) / jnp.log(10.0)
         return total, losses
 
+    data_batch_keys = (
+        "rays_o", "rays_d", "rays_o_head", "rays_d_head", "gt_img", "bg_img",
+    )
+
     def _device_batch(self, batch):
-        keys = (
-            "rays_o", "rays_d", "rays_o_head", "rays_d_head",
-            "gt_img", "bg_img", "cond", "cond_wins", "euler", "trans",
-        )
-        return {k: jnp.asarray(batch[k]) for k in keys}
+        keys = self.data_batch_keys + ("cond", "cond_wins", "euler", "trans")
+        return self.place_batch({k: batch[k] for k in keys})
 
     def train_batches(self, start_step):
         self._step = start_step

@@ -23,6 +23,7 @@ from geneface_tpu.models.audio2motion import VAEModel
 from geneface_tpu.models.postnet import CNNPostNet, MLPDiscriminator
 from geneface_tpu.models.syncnet import LandmarkHubertSyncNet, sync_loss
 from geneface_tpu.tasks.syncnet import gather_clips, mine_sync_clips
+from geneface_tpu.training.optim import finalize_optimizer
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.training.trainer import Task
 from geneface_tpu.utils import get_last_checkpoint, load_checkpoint
@@ -95,9 +96,12 @@ class PostnetAdvSyncTask(Task):
         disc_params = self.disc.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 204)))
 
         schedule = build_schedule(cfg)
-        self.gen_tx = optax.rmsprop(schedule)
-        self.disc_tx = optax.rmsprop(
-            lambda s: schedule(s) * cfg.get("postnet_disc_lr_ratio", 1.0)
+        self.gen_tx = finalize_optimizer(optax.rmsprop(schedule), cfg)
+        self.disc_tx = finalize_optimizer(
+            optax.rmsprop(
+                lambda s: schedule(s) * cfg.get("postnet_disc_lr_ratio", 1.0)
+            ),
+            cfg,
         )
         self._step = 0
         self._build_jits()
@@ -192,12 +196,14 @@ class PostnetAdvSyncTask(Task):
         self._gen_step_fn = gen_step
         self._disc_step_fn = disc_step
 
+    #: sequence-batch axis sharded over the mesh when divisible (GAN task
+    #: DP parity; non-divisible token-bucketed batches replicate)
+    data_batch_keys = ("hubert", "y", "y_mask")
+
     def _dev(self, batch):
-        return {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
-            if k in ("hubert", "y", "y_mask")
-        }
+        return self.place_batch(
+            {k: v for k, v in batch.items() if k in ("hubert", "y", "y_mask")}
+        )
 
     def train_step(self, state, batch, rng):
         cfg = self.cfg

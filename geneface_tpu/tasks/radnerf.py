@@ -36,7 +36,11 @@ from geneface_tpu.models.radnerf import (
     render_rays_radnerf,
     update_extra_state,
 )
-from geneface_tpu.training.optim import multi_group_adam, radnerf_label_fn
+from geneface_tpu.training.optim import (
+    finalize_optimizer,
+    multi_group_adam,
+    radnerf_label_fn,
+)
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.training.trainer import Task
 
@@ -118,9 +122,11 @@ class RADNeRFTask(Task):
             clip_grad_norm=cfg.get("clip_grad_norm", 0),
             clip_grad_value=cfg.get("clip_grad_value", 0),
         )
+        self.tx = finalize_optimizer(self.tx, cfg)
         opt_state = self.tx.init(params)
 
         self._step = 0
+        self._occ_rng = np.random.RandomState(cfg.get("seed", 9999) + 7)
         self.finetune_lip_flag = False
         self._build_lpips(rng)
         self._build_jits()
@@ -319,17 +325,20 @@ class RADNeRFTask(Task):
         self._occ_update_fn = occ_update
 
     # ------------------------------------------------------------- steps ----
+    #: leaves whose leading axis is the ray axis -> sharded over the mesh's
+    #: data axis by ``place_batch`` (reference DDP equivalent, SURVEY 2.9)
+    data_batch_keys = (
+        "rays_o", "rays_d", "gt_img", "bg_img", "bg_torso_img",
+        "bg_coords", "face_mask",
+        "inds", "gt_img_u8", "bg_img_u8", "bg_torso_img_u8",
+    )
+
     def _device_batch(self, batch, step):
-        keep = (
-            "rays_o", "rays_d", "gt_img", "bg_img", "bg_torso_img",
-            "bg_coords", "face_mask", "cond_wins",
-            "inds", "gt_img_u8", "bg_img_u8", "bg_torso_img_u8",
-            "pose_matrix", "face_rect",
-        )
-        out = {k: jnp.asarray(batch[k]) for k in keep if k in batch}
-        out["idx"] = jnp.asarray(batch["idx"], jnp.int32)
-        out["step"] = jnp.asarray(step, jnp.float32)
-        return out
+        keep = self.data_batch_keys + ("cond_wins", "pose_matrix", "face_rect")
+        out = {k: batch[k] for k in keep if k in batch}
+        out["idx"] = np.asarray(batch["idx"], np.int32)
+        out["step"] = np.asarray(step, np.float32)
+        return self.place_batch(out)
 
     def _maybe_update_occ(self, state, rng):
         cfg = self.cfg
@@ -339,7 +348,9 @@ class RADNeRFTask(Task):
             and self._step > cfg.get("finetune_lips_start_iter", 200_000)
         )
         if self._step % interval == 0 and not in_lip_phase:
-            idx = np.random.randint(len(self.train_ds))
+            # seeded: multi-host runs must pick the same frame so the
+            # replicated occupancy state stays bitwise-identical across hosts
+            idx = self._occ_rng.randint(len(self.train_ds))
             cond = jnp.asarray(
                 get_cond_window(
                     self.train_ds.conds, idx, cfg.get("smo_win_size", 5)

@@ -28,7 +28,7 @@ from geneface_tpu.models.radnerf import (
     update_torso_occupancy,
 )
 from geneface_tpu.tasks.radnerf import RADNeRFTask, model_from_cfg
-from geneface_tpu.training.optim import multi_group_adam
+from geneface_tpu.training.optim import finalize_optimizer, multi_group_adam
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.utils import get_last_checkpoint, load_checkpoint, restore_partial
 
@@ -114,9 +114,11 @@ class RADNeRFTorsoTask(RADNeRFTask):
         )
         # hard-freeze: zero updates for the head (multiplier 0 keeps Adam
         # state but never moves the params)
+        self.tx = finalize_optimizer(self.tx, cfg)
         opt_state = self.tx.init(params)
 
         self._step = 0
+        self._occ_rng = np.random.RandomState(cfg.get("seed", 9999) + 7)
         self.finetune_lip_flag = False
         self._build_jits()
         return {
@@ -230,7 +232,9 @@ class RADNeRFTorsoTask(RADNeRFTask):
     def _maybe_update_occ(self, state, rng):
         interval = self.cfg.get("update_extra_interval", 16)
         if self._step % interval == 0:
-            idx = np.random.randint(len(self.train_ds))
+            # seeded: multi-host runs must pick the same frame so the
+            # replicated occupancy state stays bitwise-identical across hosts
+            idx = self._occ_rng.randint(len(self.train_ds))
             pose6 = jnp.asarray(self.train_ds.poses6[idx : idx + 1])
             t_codes = state["params"]["params"].get("torso_individual_codes")
             t_ind = t_codes[idx % t_codes.shape[0]] if t_codes is not None else None
@@ -244,7 +248,7 @@ class RADNeRFTorsoTask(RADNeRFTask):
         rng_occ, rng_step = jax.random.split(rng)
         state = self._maybe_update_occ(state, rng_occ)
         dbatch = self._device_batch(batch, self._step)
-        dbatch["pose"] = jnp.asarray(batch["pose"])
+        dbatch.update(self.place_batch({"pose": batch["pose"]}))
         params, opt_state, losses = self._train_step_fn(
             state["params"], state["opt_state"], state["occ"],
             state["torso_occ"], dbatch, rng_step,
@@ -260,7 +264,7 @@ class RADNeRFTorsoTask(RADNeRFTask):
 
     def val_step(self, state, batch, rng):
         dbatch = self._device_batch(batch, self._step)
-        dbatch["pose"] = jnp.asarray(batch["pose"])
+        dbatch.update(self.place_batch({"pose": batch["pose"]}))
         return self._val_step_fn(
             state["params"], state["occ"], state["torso_occ"], dbatch, rng
         )

@@ -20,6 +20,7 @@ import optax
 
 from geneface_tpu.data.lrs3_dataset import LRS3SeqDataset
 from geneface_tpu.models.syncnet import LandmarkHubertSyncNet, sync_loss
+from geneface_tpu.training.optim import finalize_optimizer
 from geneface_tpu.training.schedules import build_schedule
 from geneface_tpu.training.trainer import Task
 
@@ -121,8 +122,11 @@ class SyncNetTask(Task):
             jnp.zeros((2, 5, cfg.get("syncnet_lm_dim", 60))),
         )
         schedule = build_schedule(cfg)
-        self.tx = optax.adam(schedule, b1=cfg.get("optimizer_adam_beta1", 0.9),
-                             b2=cfg.get("optimizer_adam_beta2", 0.999))
+        self.tx = finalize_optimizer(
+            optax.adam(schedule, b1=cfg.get("optimizer_adam_beta1", 0.9),
+                       b2=cfg.get("optimizer_adam_beta2", 0.999)),
+            cfg,
+        )
         opt_state = self.tx.init(params)
         self._build_jits()
         return {"params": params, "opt_state": opt_state}

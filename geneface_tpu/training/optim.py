@@ -16,11 +16,34 @@ import jax
 import optax
 
 __all__ = [
+    "finalize_optimizer",
     "label_params",
     "multi_group_adam",
     "radnerf_label_fn",
     "radnerf_torso_label_fn",
 ]
+
+
+def finalize_optimizer(
+    tx: optax.GradientTransformation, cfg
+) -> optax.GradientTransformation:
+    """Apply the trainer-level optimizer wrappers every task shares.
+
+    - ``accumulate_grad_batches`` > 1 → ``optax.MultiSteps``: gradients are
+      averaged over k micro-batches and applied once (reference
+      ``utils/commons/trainer.py:340,367``).
+    - ``guard_nan_grads`` (default on) → ``optax.apply_if_finite``: a step
+      whose gradients contain nan/inf is skipped instead of poisoning the
+      params (reference's ``print_nan_grads`` detection,
+      ``trainer.py:357-364``, upgraded from print-and-continue to
+      skip-and-count; the skip count is exposed in the opt state).
+    """
+    k = int(cfg.get("accumulate_grad_batches", 1))
+    if k > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=k)
+    if cfg.get("guard_nan_grads", True):
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=10**8)
+    return tx
 
 
 def label_params(params, label_of_path: Callable[[str], str]):

@@ -47,6 +47,55 @@ class Task:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        self.mesh = None
+
+    # -- mesh / sharding -------------------------------------------------------
+    #: batch keys whose LEADING axis is the data axis (rays / frames / clips);
+    #: tasks override. Everything else in the batch is replicated.
+    data_batch_keys: tuple = ()
+
+    def setup_mesh(self):
+        """Build the training mesh: all chips on the ``data`` axis.
+
+        The production replacement for the reference's DDP spawn
+        (``utils/commons/trainer.py:117-118,478-498``): every task's
+        ``_device_batch`` shards its ray/frame axis over this mesh and XLA
+        emits the gradient all-reduce. Disable with ``use_mesh: false``.
+        """
+        from geneface_tpu.parallel import make_mesh
+
+        if self.cfg.get("use_mesh", True) and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+        return self.mesh
+
+    def place_batch(self, batch: dict) -> dict:
+        """Shard ``data_batch_keys`` leaves over the mesh, replicate the rest."""
+        if self.mesh is None:
+            import jax.numpy as jnp
+
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from geneface_tpu.parallel import put_sharded, replicated, shard_batch
+
+        sharded = shard_batch(
+            self.mesh, {k: batch[k] for k in self.data_batch_keys if k in batch}
+        )
+        rep = replicated(self.mesh)
+        for k, v in batch.items():
+            if k not in sharded:
+                sharded[k] = put_sharded(self.mesh, v, rep)
+        return sharded
+
+    def place_state(self, state):
+        """Replicate the train state (params/opt/aux grids) over the mesh."""
+        if self.mesh is None:
+            return state
+        from geneface_tpu.parallel import put_sharded, replicated
+
+        rep = replicated(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: put_sharded(self.mesh, x, rep) if hasattr(x, "ndim") else x,
+            state,
+        )
 
     # -- required ------------------------------------------------------------
     def build(self) -> Any:
@@ -170,6 +219,7 @@ class Trainer:
     # ------------------------------------------------------------------ fit --
     def fit(self):
         cfg = self.cfg
+        self.task.setup_mesh()
         state = self.task.build()
         step = 0
 
@@ -184,6 +234,7 @@ class Trainer:
             state = self.task.on_restore(state, restored.get("extra", {}))
             print(f"| resumed from step {step}")
 
+        state = self.task.place_state(state)
         state = self.task.on_train_start(state)
         rng = jax.random.PRNGKey(cfg.get("seed", 9999))
 

@@ -1,0 +1,164 @@
+"""Multi-device training through the PRODUCTION path.
+
+The reference's one parallelism feature is DDP data parallelism
+(``utils/commons/trainer.py:117-118,478-498``). Here ``Trainer.fit`` builds
+the mesh and every task shards its data axis via ``Task.place_batch``; these
+tests assert the sharding really engages on the 8-device CPU mesh for each
+task family, and that grad accumulation matches a single big step.
+"""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from tools.make_synthetic_dataset import make_dataset  # noqa: E402
+from tools.make_synthetic_lrs3 import make_lrs3  # noqa: E402
+
+from geneface_tpu.config import Config  # noqa: E402
+from geneface_tpu.tasks.radnerf import RADNeRFTask  # noqa: E402
+from geneface_tpu.training.trainer import Trainer  # noqa: E402
+from tests.test_radnerf_training import tiny_cfg  # noqa: E402
+
+
+def n_devices_of(arr):
+    return len({s.device for s in arr.addressable_shards})
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("synth"))
+    make_dataset(d, n_frames=6, hw=32)
+    return d
+
+
+def test_radnerf_task_shards_rays(synth, tmp_path):
+    cfg = tiny_cfg(synth, str(tmp_path / "wd"), max_updates=2,
+                   val_check_interval=2)
+    task = RADNeRFTask(cfg)
+    trainer = Trainer(task)
+    trainer.fit()
+    assert task.mesh is not None and task.mesh.shape["data"] == 8
+    batch = next(task.train_batches(0))
+    dbatch = task._device_batch(batch, 0)
+    ray_key = "rays_o" if "rays_o" in dbatch else "inds"
+    assert n_devices_of(dbatch[ray_key]) == 8
+    # non-ray leaves replicated on the same mesh
+    assert dbatch["cond_wins"].sharding.is_fully_replicated
+
+
+def test_lm3d_nerf_task_shards_rays(synth, tmp_path):
+    from geneface_tpu.tasks.lm3d_nerf import Lm3dNeRFTask
+
+    cfg = tiny_cfg(
+        synth, str(tmp_path / "wd"), max_updates=2, val_check_interval=2,
+        n_rays=64, n_samples_per_ray=4, n_samples_per_ray_fine=4,
+        no_smo_iterations=0,
+    )
+    task = Lm3dNeRFTask(cfg)
+    Trainer(task).fit()
+    assert task.mesh is not None
+    dbatch = task._device_batch(next(task.train_batches(0)))
+    assert n_devices_of(dbatch["rays_o"]) == 8
+
+
+def test_radnerf_torso_task_shards_rays(synth, tmp_path):
+    from geneface_tpu.tasks.radnerf_torso import RADNeRFTorsoTask
+
+    head_wd = str(tmp_path / "head")
+    Trainer(RADNeRFTask(tiny_cfg(synth, head_wd, max_updates=2,
+                                 val_check_interval=2))).fit()
+    tcfg = tiny_cfg(
+        synth, str(tmp_path / "torso"), max_updates=2, val_check_interval=2,
+        head_model_dir=head_wd, torso_individual_embedding_dim=8,
+        density_thresh_torso=0.01, torso_shrink=0.8, torso_train_mode=1,
+    )
+    task = RADNeRFTorsoTask(tcfg)
+    state = Trainer(task).fit()
+    assert task.mesh is not None
+    assert np.isfinite(float(jax.tree_util.tree_reduce(
+        lambda a, b: a + np.sum(np.abs(b)), state["params"], 0.0)))
+    dbatch = task._device_batch(next(task.train_batches(0)), 0)
+    ray_key = "rays_o" if "rays_o" in dbatch else "inds"
+    assert n_devices_of(dbatch[ray_key]) == 8
+
+
+def test_postnet_gan_task_trains_on_mesh(tmp_path):
+    """Two-optimizer GAN task through the mesh-enabled Trainer."""
+    from geneface_tpu.tasks.postnet import PostnetAdvSyncTask
+
+    lrs3 = make_lrs3(str(tmp_path / "lrs3"))
+    cfg = Config(
+        lrs3_data_dir=lrs3, person_data_dir=lrs3, work_dir=str(tmp_path / "wd"),
+        lr=1e-4, scheduler="none", max_updates=3, val_check_interval=3,
+        tb_log_interval=1, num_sanity_val_steps=0, eval_max_batches=1,
+        seed=0, max_tokens=4000, syncnet_num_samples_per_batch=8,
+        postnet_disc_interval=1,
+    )
+    task = PostnetAdvSyncTask(cfg)
+    state = Trainer(task).fit()
+    assert task.mesh is not None and task.mesh.shape["data"] == 8
+    for k in ("gen_params", "disc_params"):
+        leaf = jax.tree_util.tree_leaves(state[k])[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+def test_grad_accumulation_equivalence():
+    """``accumulate_grad_batches=k`` applies ONE update equal to the update
+    from the mean of the k micro-gradients (reference trainer semantics,
+    ``utils/commons/trainer.py:340,367``), through the same
+    ``finalize_optimizer`` wrapper every task uses."""
+    import jax.numpy as jnp
+    import optax
+
+    from geneface_tpu.config import Config
+    from geneface_tpu.training.optim import finalize_optimizer
+
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0]), "b": jnp.asarray(0.5)}
+    g1 = {"w": jnp.asarray([0.1, 0.2, -0.3]), "b": jnp.asarray(0.4)}
+    g2 = {"w": jnp.asarray([-0.5, 0.0, 0.1]), "b": jnp.asarray(-0.2)}
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+
+    base = optax.adam(1e-2)
+    tx_acc = finalize_optimizer(base, Config(accumulate_grad_batches=2))
+    tx_ref = finalize_optimizer(base, Config())
+
+    s = tx_acc.init(params)
+    u1, s = tx_acc.update(g1, s, params)  # accumulation step: zero update
+    assert max(
+        float(jnp.max(jnp.abs(l))) for l in jax.tree_util.tree_leaves(u1)
+    ) == 0.0
+    u2, s = tx_acc.update(g2, s, params)  # k-th step: real update
+
+    sref = tx_ref.init(params)
+    uref, _ = tx_ref.update(gmean, sref, params)
+
+    for a, b in zip(jax.tree_util.tree_leaves(u2),
+                    jax.tree_util.tree_leaves(uref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_nan_grad_guard_skips_update():
+    """A nan gradient must not move the params (reference's
+    ``print_nan_grads`` detection upgraded to skip-and-count,
+    ``utils/commons/trainer.py:357-364``)."""
+    import jax.numpy as jnp
+    import optax
+
+    from geneface_tpu.config import Config
+    from geneface_tpu.training.optim import finalize_optimizer
+
+    params = {"w": jnp.ones((3,))}
+    tx = finalize_optimizer(optax.adam(1e-2), Config(guard_nan_grads=True))
+    s = tx.init(params)
+    bad = {"w": jnp.asarray([jnp.nan, 1.0, 2.0])}
+    u, s = tx.update(bad, s, params)
+    new = optax.apply_updates(params, u)
+    np.testing.assert_allclose(np.asarray(new["w"]), np.ones(3))
+    # a following finite gradient still applies
+    good = {"w": jnp.asarray([0.1, 0.1, 0.1])}
+    u2, s = tx.update(good, s, params)
+    assert float(jnp.max(jnp.abs(u2["w"]))) > 0.0

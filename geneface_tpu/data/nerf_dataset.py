@@ -48,6 +48,10 @@ class NeRFDataset:
         self.near = cfg.get("near", 0.3)
         self.far = cfg.get("far", 0.9)
         self.bg_img = np.asarray(ds["bg_img"], np.float32) / 255.0
+        # landmark normalization stats (used by the inference drivers to
+        # normalize predicted idexp lm3d, reference binarizer.py mean/std)
+        self.idexp_lm3d_mean = ds.get("idexp_lm3d_mean")
+        self.idexp_lm3d_std = ds.get("idexp_lm3d_std")
 
         cond_type = cfg.get("cond_type", "idexp_lm3d_normalized")
         if cond_type == "deepspeech":

@@ -9,5 +9,9 @@ from geneface_tpu.inference.landmark_postprocess import (  # noqa: F401
 )
 from geneface_tpu.inference.audio2motion_infer import Audio2MotionInfer  # noqa: F401
 from geneface_tpu.inference.audio2pose_infer import Audio2PoseInfer  # noqa: F401
+from geneface_tpu.inference.nerf_infer import (  # noqa: F401
+    ADNeRFInfer,
+    LM3dNeRFInfer,
+)
 from geneface_tpu.inference.postnet_infer import PostnetInfer  # noqa: F401
 from geneface_tpu.inference.radnerf_infer import RADNeRFInfer, save_mp4  # noqa: F401

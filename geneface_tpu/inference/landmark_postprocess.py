@@ -20,6 +20,7 @@ __all__ = [
     "lle_project_lm3d",
     "gaussian_smooth_lm3d",
     "inject_blinks",
+    "inject_blinks_from_gt",
     "close_mouth_when_silent",
     "get_win_conds",
 ]
@@ -74,6 +75,7 @@ def lle_project_lm3d(
         return lm
     import jax.numpy as jnp
 
+    K = min(K, len(database))
     feats = lm.reshape(len(lm), -1)
     fused, _ = compute_lle_projection(
         jnp.asarray(feats), jnp.asarray(database.reshape(len(database), -1)), K
@@ -107,6 +109,44 @@ def inject_blinks(
                 + (1 - w) * lm[start + j, REGIONS["eye"]]
             )
     return lm
+
+
+def inject_blinks_from_gt(
+    lm: np.ndarray,
+    gt_lm_db: np.ndarray,
+    mode: str = "none",
+    ref_start: int | None = None,
+    ref_end: int | None = None,
+) -> np.ndarray:
+    """Replace the brow+eye region (landmarks 17:48) with GT-derived motion
+    (``lm3d_nerf_infer.py:79-105``).
+
+    - ``period``: tile one GT blink segment ``[ref_start, ref_end]`` over the
+      whole sequence;
+    - ``gt``: tile the ENTIRE GT brow+eye sequence;
+    - ``none``: no-op.
+
+    ``lm`` [T, 68, 3] normalized; ``gt_lm_db`` [N, 68, 3] normalized GT.
+    """
+    if mode == "none":
+        return lm
+    db = gt_lm_db.reshape(len(gt_lm_db), 68, 3)
+    if mode == "period":
+        if ref_start is None or ref_end is None:
+            raise ValueError(
+                "period blink mode needs infer_eye_blink_ref_frames_"
+                "start/end_idx (a GT blink segment)"
+            )
+        pattern = db[ref_start : ref_end + 1, 17:48]
+    elif mode == "gt":
+        pattern = db[:, 17:48]
+    else:
+        raise NotImplementedError(f"blink mode {mode}")
+    reps = len(lm) // len(pattern) + 1
+    tiled = np.concatenate([pattern] * reps, axis=0)[: len(lm)]
+    out = lm.copy()
+    out[:, 17:48] = tiled
+    return out
 
 
 def close_mouth_when_silent(

@@ -39,8 +39,12 @@ def solve_lle_projection(feat, feat_base):
     A = (feat_base[:, 1:, :] - feat_base[:, 0:1, :]).transpose(0, 2, 1)  # [N,C,K-1]
     AT = A.transpose(0, 2, 1)
     ATA = AT @ A  # [N, K-1, K-1]
-    # small regularization for singular neighborhoods
-    ATA = ATA + 1e-8 * jnp.eye(K - 1)[None]
+    # ridge scaled by the Gram trace: exact-duplicate neighbors (common when
+    # K approaches the database size) make ATA singular and a fixed 1e-8
+    # still yields nan in f32; the relative ridge keeps the solve finite
+    # with negligible bias on well-conditioned neighborhoods
+    tr = jnp.trace(ATA, axis1=-2, axis2=-1)[:, None, None]
+    ATA = ATA + (1e-6 * tr / (K - 1) + 1e-8) * jnp.eye(K - 1)[None]
     X = jnp.linalg.solve(ATA, AT @ B[..., None])[..., 0]  # [N, K-1]
     w0 = 1.0 - jnp.sum(X, axis=-1, keepdims=True)
     weights = jnp.concatenate([w0, X], axis=-1)  # [N, K]

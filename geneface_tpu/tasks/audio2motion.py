@@ -193,5 +193,20 @@ class VAESyncAudio2MotionTask(Task):
         return state
 
 
+    @classmethod
+    def run_inference(cls, cfg):
+        """wav -> raw VAE motion .npy (reference
+        ``inference/audio2motion/audio2motion_infer.example_run``)."""
+        from geneface_tpu.inference.audio2motion_infer import Audio2MotionInfer
+
+        infer = Audio2MotionInfer(cfg)
+        return infer.infer(
+            wav_path=cfg.get("infer_audio_source_name"),
+            out_npy=cfg.get("infer_out_npy_name", "infer_out/pred_lm3d.npy"),
+            temperature=cfg.get("infer_temperature", 1.0),
+            seed=cfg.get("seed", 0),
+        )
+
+
 class PitchContourVAESyncTask(VAESyncAudio2MotionTask):
     model_cls = PitchContourVAEModel

@@ -137,3 +137,17 @@ class Audio2PoseTask(Task):
     def val_batches(self):
         for _ in range(4):
             yield self.val_ds.batch(self.batch_size)
+
+
+    @classmethod
+    def run_inference(cls, cfg):
+        """deepspeech .npy -> predicted c2w poses .npy (reference
+        ``inference/audio2pose/audio2pose_infer.example_run``)."""
+        from geneface_tpu.inference.audio2pose_infer import Audio2PoseInfer
+
+        infer = Audio2PoseInfer(cfg)
+        return infer.infer(
+            deepspeech_npy=cfg.get("infer_audio_source_name"),
+            out_npy=cfg.get("infer_out_npy_name", "infer_out/pred_pose.npy"),
+            seed=cfg.get("seed", 0),
+        )

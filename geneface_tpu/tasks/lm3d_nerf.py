@@ -187,6 +187,23 @@ class Lm3dNeRFTask(Task):
         return state
 
 
+    # -------------------------------------------------------------- infer ----
+    @classmethod
+    def run_inference(cls, cfg):
+        """``--infer`` entry: predicted-landmark .npy -> full-frame mp4 via
+        :class:`geneface_tpu.inference.nerf_infer.LM3dNeRFInfer`
+        (reference ``inference/nerfs/lm3d_nerf_infer.example_run``)."""
+        from geneface_tpu.inference.nerf_infer import LM3dNeRFInfer
+
+        infer = LM3dNeRFInfer(cfg)
+        return infer.run(
+            cfg["infer_cond_name"],
+            out_path=cfg.get("infer_out_video_name", "infer_out/out.mp4"),
+            audio_path=cfg.get("infer_audio_source_name") or None,
+            n_frames=cfg.get("infer_n_frames") or None,
+        )
+
+
 class ADNeRFTask(Lm3dNeRFTask):
     """DeepSpeech-conditioned variant (``tasks/nerfs/adnerf.py``)."""
 
@@ -195,6 +212,22 @@ class ADNeRFTask(Lm3dNeRFTask):
         return ADNeRF(
             cond_dim=cfg.get("cond_dim", 64),
             hidden_size=cfg.get("hidden_size", 256),
+        )
+
+
+    @classmethod
+    def run_inference(cls, cfg):
+        """DeepSpeech-window .npy -> mp4 via
+        :class:`geneface_tpu.inference.nerf_infer.ADNeRFInfer`
+        (reference ``inference/nerfs/adnerf_infer``)."""
+        from geneface_tpu.inference.nerf_infer import ADNeRFInfer
+
+        infer = ADNeRFInfer(cfg)
+        return infer.run(
+            cfg["infer_cond_name"],
+            out_path=cfg.get("infer_out_video_name", "infer_out/out.mp4"),
+            audio_path=cfg.get("infer_audio_source_name") or None,
+            n_frames=cfg.get("infer_n_frames") or None,
         )
 
 
@@ -384,6 +417,8 @@ class Lm3dNeRFTorsoTask(Lm3dNeRFTask):
 
 class ADNeRFTorsoTask(Lm3dNeRFTorsoTask):
     """DeepSpeech-conditioned torso variant (``tasks/nerfs/adnerf_torso.py``)."""
+
+    run_inference = ADNeRFTask.run_inference
 
     def make_model(self):
         cfg = self.cfg

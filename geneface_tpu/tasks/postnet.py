@@ -263,3 +263,19 @@ class PostnetAdvSyncTask(Task):
     def on_restore(self, state, extra):
         self._step = int(extra.get("task_step", self._step))
         return state
+
+
+    @classmethod
+    def run_inference(cls, cfg):
+        """``--infer`` entry, stage A of the two-stage pipeline
+        (reference ``inference/postnet/postnet_infer.example_run``):
+        wav -> HuBERT/f0 -> VAE prior sample -> postnet -> lm3d .npy."""
+        from geneface_tpu.inference.postnet_infer import PostnetInfer
+
+        infer = PostnetInfer(cfg)
+        return infer.infer(
+            wav_path=cfg.get("infer_audio_source_name"),
+            out_npy=cfg.get("infer_out_npy_name", "infer_out/pred_lm3d.npy"),
+            temperature=cfg.get("infer_temperature", 1.0),
+            seed=cfg.get("seed", 0),
+        )

@@ -437,3 +437,24 @@ class RADNeRFTask(Task):
 
     def on_save(self, state):
         return {"task_step": self._step}
+
+    # -------------------------------------------------------------- infer ----
+    @classmethod
+    def run_inference(cls, cfg):
+        """``--infer`` entry: predicted-landmark .npy (``infer_cond_name``,
+        stage-A output) -> rendered mp4 (``infer_out_video_name``), driven by
+        :class:`geneface_tpu.inference.radnerf_infer.RADNeRFInfer`
+        (reference ``inference/nerfs/lm3d_radnerf_infer.example_run``)."""
+        import numpy as np
+
+        from geneface_tpu.inference.radnerf_infer import RADNeRFInfer
+
+        infer = RADNeRFInfer(cfg)
+        cond_name = cfg.get("infer_cond_name", "")
+        lm3d = np.load(cond_name).reshape(-1, 68, 3) if cond_name else None
+        return infer.render_video(
+            lm3d,
+            out_path=cfg.get("infer_out_video_name", "infer_out/out.mp4"),
+            audio_path=cfg.get("infer_audio_source_name") or None,
+            n_frames=cfg.get("infer_n_frames") or None,
+        )

@@ -129,13 +129,23 @@ class Task:
 
     @classmethod
     def start(cls, cfg: Config):
-        trainer = Trainer(cls(cfg))
+        """CLI entry (reference ``BaseTask.start``/``tasks/run.py``):
+        ``--infer`` dispatches to the task family's inference pipeline,
+        otherwise train."""
         if cfg.get("infer", False):
-            raise RuntimeError(
-                "inference entry moved to geneface_tpu.inference pipelines"
-            )
+            return cls.run_inference(cfg)
+        trainer = Trainer(cls(cfg))
         trainer.fit()
         return trainer
+
+    @classmethod
+    def run_inference(cls, cfg: Config):
+        """Run this task family's inference pipeline (reference
+        ``inference/*/..._infer.example_run``). Overridden per task."""
+        raise NotImplementedError(
+            f"{cls.__name__} has no inference pipeline; see "
+            "geneface_tpu.inference for the available drivers"
+        )
 
 
 def tee_terminal_logs(work_dir: str):

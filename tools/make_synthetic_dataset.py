@@ -118,9 +118,14 @@ def make_dataset(out_dir, n_frames=40, hw=128, seed=0):
     lm_all = np.stack(lm_all)  # [T, 68, 3]
     mean = lm_all.mean(0)
     std = lm_all.std(0) + 1e-8
+    ds_rng = np.random.RandomState(seed + 1)
     for s in samples:
         norm = (s.pop("idexp_lm3d_raw") - mean) / std
         s["idexp_lm3d_normalized_win"] = norm.reshape(1, 204).astype(np.float32)
+        # synthetic ASR features so the deepspeech/esperanto-conditioned
+        # families (ADNeRF) train/infer on this dataset too
+        s["deepspeech_win"] = ds_rng.randn(16, 29).astype(np.float32)
+        s["esperanto_win"] = ds_rng.randn(16, 44).astype(np.float32)
 
     n_val = max(1, n_frames // 10)
     ds = {

@@ -1,15 +1,21 @@
-"""Headline benchmark: RAD-NeRF head training throughput (rays/s/chip).
+"""Headline benchmarks: RAD-NeRF training throughput + 512x512 inference FPS.
 
-Runs the full jitted train step (occupancy-pruned ray march → grid+MLP field
-→ composite → losses → backward → 3-group Adam) at the reference's production
-shape: 65,536 rays/step, 128³ occupancy grid, ≤16 samples/ray
-(``egs/egs_bases/radnerf/base.yaml``).
+Training: the full jitted train step (occupancy-pruned ray march -> grid+MLP
+field -> composite -> losses -> backward -> 3-group Adam) at the reference's
+production shape: 65,536 rays/step, 128^3 occupancy grid, <=16 samples/ray
+(``egs/egs_bases/radnerf/base.yaml``). The timed loop includes the periodic
+occupancy EMA updates and the capacity-bucket retune exactly as the
+production ``RADNeRFTask.train_step`` runs them. Baseline: the reference
+trains 250k steps in ~6h on an RTX 3090 Ti => ~11.6 steps/s => ~0.76 M
+rays/s (BASELINE.md).
 
-Baseline: the reference trains 250k steps in ~6h on an RTX 3090 Ti ⇒
-~11.6 steps/s ⇒ ~0.76 M rays/s (BASELINE.md). ``vs_baseline`` is the
-speedup of this chip over that number.
+Inference: full-frame 512^2 renders through the static-capacity ray-cull
+path (the production ``RADNeRFInfer`` configuration). Baseline: the
+reference claims "real-time" on a consumer GPU (~25 FPS target,
+``README.md:23``).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the LAST line is the headline
+(training rays/s/chip).
 """
 
 import json
@@ -21,21 +27,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_RAYS_PER_S = 0.76e6
+BASELINE_INFER_FPS = 25.0
 
 
-def main():
-    import jax
-    import numpy as np
-
+def production_cfg(tmp, n_rays=65536):
     from geneface_tpu.config import Config
-    from geneface_tpu.tasks.radnerf import RADNeRFTask
-    from tools.make_synthetic_dataset import make_dataset
 
-    tmp = tempfile.mkdtemp(prefix="gf_bench_")
-    make_dataset(tmp, n_frames=8, hw=512)
-
-    n_rays = 65536
-    cfg = Config(
+    return Config(
         data_dir=tmp,
         work_dir=os.path.join(tmp, "work"),
         cond_type="idexp_lm3d_normalized",
@@ -73,50 +71,153 @@ def main():
         seed=0,
     )
 
-    task = RADNeRFTask(cfg)
-    state = task.build()
-    rng = jax.random.PRNGKey(0)
-    batches = task.train_batches(0)
 
-    # Realistic occupancy: at bench time the model is untrained, so its own
-    # density sweep would mark ~everything (or nothing) occupied. A trained
-    # face grid is a sparse blob; emulate it analytically from the synthetic
-    # scene's true geometry (ball of r~0.11 + dilation margin), with density
-    # values high enough that the periodic EMA updates inside the timed loop
-    # keep it stable. Yields ~4-6 valid samples/ray at 512^2 — the same
-    # regime the reference trains in after its grid converges.
+def trained_grid_occ(cfg):
+    """Emulate a trained occupancy grid: at bench time the model is untrained
+    (its own density sweep would mark ~everything or nothing), so plant the
+    synthetic scene's true geometry analytically (ball r~0.13 + dilation
+    margin) with densities high enough that the periodic EMA updates inside
+    the timed loop keep it stable. The bench's training rays are the
+    production dataset's rect-weighted samples, so the marched
+    samples-per-ray regime matches a converged face grid (the bench prints
+    the measured mean)."""
     import jax.numpy as jnp
+    import numpy as np
+
     from geneface_tpu.models.radnerf.renderer import OccupancyState
 
     H = cfg["grid_size"]
     r = (np.arange(H) + 0.5) / H * 2.0 - 1.0
     gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
-    dist = np.sqrt(gx**2 + gy**2 + gz**2)
-    occ_np = dist < (0.13 + 4.0 / H)
+    occ_np = np.sqrt(gx**2 + gy**2 + gz**2) < (0.13 + 4.0 / H)
     density = np.where(occ_np, 4.0 * cfg["density_thresh"], 0.0).reshape(1, -1)
-    state["occ"] = OccupancyState(
+    return OccupancyState(
         density_grid=jnp.asarray(density, jnp.float32),
         occ_grid=jnp.asarray(occ_np[None]),
         mean_density=jnp.asarray(0.0, jnp.float32),
     )
 
-    # warmup: occupancy update + step compile
+
+def bench_train(task, state, n_steps=30):
+    import jax
+
+    rng = jax.random.PRNGKey(0)
+    batches = task.train_batches(0)
+
+    # warmup: occupancy update + step compile + capacity-bucket settle
     for _ in range(3):
         rng, k = jax.random.split(rng)
         state, losses = task.train_step(state, next(batches), k)
     jax.block_until_ready(losses["total_loss"])
+    mean_samples = float(losses["mean_samples"])
 
     # chained timing: the tunnel's D2H roundtrip is ~28 ms, so block once at
     # the end — steps serialize on-device through the donated train state
-    n_steps = 30
     t0 = time.time()
     for _ in range(n_steps):
         rng, k = jax.random.split(rng)
         state, losses = task.train_step(state, next(batches), k)
     jax.block_until_ready(losses["total_loss"])
     dt = (time.time() - t0) / n_steps
+    return dt, mean_samples, state
 
+
+def bench_infer_fps(task, state, hw=512, n_frames=20):
+    """Full-frame renders through the static-capacity ray-cull infer path."""
+    import jax
+    import jax.numpy as jnp
+
+    from geneface_tpu.data.radnerf_dataset import get_cond_window
+    from geneface_tpu.models.radnerf.renderer import (
+        occupied_aabb,
+        render_rays_radnerf,
+    )
+    from geneface_tpu.ops import near_far_from_aabb
+    from geneface_tpu.utils.camera import get_rays
+
+    cfg = task.cfg
+    ds = task.train_ds
+    model = task.model
+    params, occ = state["params"], state["occ"]
+
+    rays = get_rays(ds.poses[0], ds.intrinsics, hw, hw)
+    rays_o = jnp.asarray(rays["rays_o"])
+    rays_d = jnp.asarray(rays["rays_d"])
+    bg = jnp.asarray(ds.bg_img.reshape(-1, 3))
+    cond = jnp.asarray(get_cond_window(ds.conds, 0, cfg["smo_win_size"]))
+
+    # static ray-cull capacity from the tight occupied AABB (production
+    # RADNeRFInfer._pick_ray_capacity recipe)
+    tight = occupied_aabb(occ.occ_grid, float(cfg["bound"]))
+    tn, _ = near_far_from_aabb(rays_o, rays_d, tight, cfg["min_near"])
+    n_hit = int(jax.device_get((tn < 1e30).sum()))
+    cap = int(-(-int(n_hit * 1.15) // 4096) * 4096)
+    cap = cap if 0 < cap < hw * hw else None
+
+    @jax.jit
+    def render(params, occ, cond, rays_o, rays_d, bg):
+        cond_feat = model.apply(params, cond, method=model.cal_cond_feat)
+        ind = params["params"]["individual_embeddings"][0]
+
+        def field_fn(xyz, dirs):
+            return model.apply(params, xyz, dirs, cond_feat, ind)
+
+        out = render_rays_radnerf(
+            field_fn, rays_o, rays_d, occ, bg_color=bg,
+            bound=float(cfg["bound"]), min_near=float(cfg["min_near"]),
+            dt_gamma=float(cfg["dt_gamma"]), max_steps=int(cfg["max_steps"]),
+            grid_size=int(cfg["grid_size"]),
+            mean_samples_per_ray=float(
+                os.environ.get("GF_INFER_MSPR", 8)
+            ),
+            ray_capacity=cap,
+        )
+        return out["rgb_map"]
+
+    img = render(params, occ, cond, rays_o, rays_d, bg)
+    jax.block_until_ready(img)
+    t0 = time.time()
+    for _ in range(n_frames):
+        img = render(params, occ, cond, rays_o, rays_d, bg)
+    jax.block_until_ready(img)
+    return (time.time() - t0) / n_frames
+
+
+def main():
+    from geneface_tpu.tasks.radnerf import RADNeRFTask
+    from tools.make_synthetic_dataset import make_dataset
+
+    tmp = tempfile.mkdtemp(prefix="gf_bench_")
+    make_dataset(tmp, n_frames=8, hw=512)
+    n_rays = 65536
+    cfg = production_cfg(tmp, n_rays)
+    task = RADNeRFTask(cfg)
+    state = task.build()
+    state["occ"] = trained_grid_occ(cfg)
+
+    dt, mean_samples, state = bench_train(task, state)
     rays_per_s = n_rays / dt
+    print(
+        f"# train: {dt*1e3:.1f} ms/step, mean marched samples/ray "
+        f"{mean_samples:.2f}, capacity bucket {task._spr_bucket}",
+        file=sys.stderr,
+    )
+
+    try:
+        frame_dt = bench_infer_fps(task, state)
+        print(
+            json.dumps(
+                {
+                    "metric": "radnerf_head_infer_fps_512",
+                    "value": round(1.0 / frame_dt, 2),
+                    "unit": "frames/s/chip",
+                    "vs_baseline": round(1.0 / frame_dt / BASELINE_INFER_FPS, 3),
+                }
+            )
+        )
+    except Exception as e:  # FPS line is auxiliary; keep the headline alive
+        print(f"# infer-fps bench failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {

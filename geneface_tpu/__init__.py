@@ -20,14 +20,26 @@ __version__ = "0.1.0"
 import os as _os
 
 
-def _enable_persistent_compile_cache():
+def _enable_persistent_compile_cache(_force: bool = False):
     """Cache XLA executables across processes (the RAD-NeRF train step takes
     minutes to compile on TPU; the cache turns repeat launches into ms).
 
-    Opt-out via ``GENEFACE_NO_COMPILE_CACHE=1``. Safe to call before or after
-    backends initialize — it only sets jax config values.
+    Opt-out via ``GENEFACE_NO_COMPILE_CACHE=1`` (or ``true``/``yes``). Safe
+    to call before or after backends initialize — it only sets jax config
+    values. Respects a user-set ``JAX_COMPILATION_CACHE_DIR`` and the
+    JAX-default cache thresholds (min compile time 1 s / min size 0 are the
+    library defaults; users tune them via the standard JAX env vars).
     """
-    if _os.environ.get("GENEFACE_NO_COMPILE_CACHE"):
+    if _os.environ.get("GENEFACE_NO_COMPILE_CACHE", "").lower() in (
+        "1", "true", "yes",
+    ):
+        return
+    import sys as _sys
+
+    if "jax" not in _sys.modules and not _force:
+        # keep `import geneface_tpu` side-effect-free for config-only users:
+        # the trainer/CLI/inference entry points call this again with
+        # _force=True before compiling anything
         return
     try:
         import jax
@@ -38,10 +50,14 @@ def _enable_persistent_compile_cache():
         )
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        import warnings
+
+        warnings.warn(
+            f"geneface_tpu: persistent compile cache disabled ({e!r}); "
+            "set GENEFACE_NO_COMPILE_CACHE=1 to silence",
+            stacklevel=1,
+        )
 
 
 _enable_persistent_compile_cache()

@@ -34,6 +34,11 @@ from geneface_tpu.ops.encoders import (
     fast_grid_encode,
     make_block_grid_meta,
 )
+from geneface_tpu.ops.fused_grid import (
+    fused_grid_encode,
+    init_fused_embeddings,
+    make_fused_grid_meta,
+)
 
 __all__ = ["RADNeRF", "COND_IN_DIMS"]
 
@@ -80,10 +85,14 @@ class RADNeRF(nn.Module):
     # compute dtype for the field MLPs (params stay f32); bf16 feeds the
     # MXU at full rate and matches instant-ngp's half-precision fused MLPs
     dtype: Any = jnp.bfloat16
-    # "block": TPU block-row layout (one wide gather per level, measured ~30x
-    # faster on v5e; equal capacity, block-granular aliasing on capped
-    # levels). "reference": exact gridencoder.cu semantics.
-    grid_backend: str = "block"
+    # "fused": grouped-row layout (ops/fused_grid.py) — level 0 exact dense,
+    # remaining levels fused into <=128-lane rows; 3 gathers + 3 scatters per
+    # grid instead of 8 + 8 (row ops are priced per index on TPU,
+    # tools/bench_rowops.py). "block": one wide gather per level (measured
+    # ~30x faster than "reference" on v5e; equal capacity, block-granular
+    # aliasing on capped levels). "reference": exact gridencoder.cu
+    # semantics (use for torch-checkpoint import / golden parity).
+    grid_backend: str = "fused"
 
     def setup(self):
         gridtype = {"tiledgrid": "tiled", "hashgrid": "hash"}[self.grid_type]
@@ -117,13 +126,14 @@ class RADNeRF(nn.Module):
         )
         self.pos_block_meta = make_block_grid_meta(self.pos_grid_meta)
         self.ambient_block_meta = make_block_grid_meta(self.ambient_grid_meta)
+        self.pos_fused_meta = make_fused_grid_meta(self.pos_grid_meta)
+        self.ambient_fused_meta = make_fused_grid_meta(self.ambient_grid_meta)
         self.pos_embeddings = self.param(
-            "pos_embeddings",
-            lambda rng: init_grid_embeddings(rng, self.pos_grid_meta),
+            "pos_embeddings", self._grid_init(self.pos_grid_meta, self.pos_fused_meta)
         )
         self.ambient_embeddings = self.param(
             "ambient_embeddings",
-            lambda rng: init_grid_embeddings(rng, self.ambient_grid_meta),
+            self._grid_init(self.ambient_grid_meta, self.ambient_fused_meta),
         )
         self.cond_prenet = AudioNet(
             dim_aud=self.cond_out_dim, win_size=self.cond_win_size
@@ -182,8 +192,16 @@ class RADNeRF(nn.Module):
             feat = self.cond_att_net(feat)[None]  # [1, C_out]
         return feat
 
+    def _grid_init(self, meta, fmeta):
+        if self.grid_backend == "fused":
+            return lambda rng: init_fused_embeddings(rng, fmeta)
+        return lambda rng: init_grid_embeddings(rng, meta)
+
     # -- field queries -------------------------------------------------------
-    def _encode_grid(self, x01, embeddings, meta, bmeta):
+    def _encode_grid(self, x01, embeddings, meta, bmeta, fmeta):
+        if self.grid_backend == "fused":
+            # grouped rows: 3 gathers + 3 scatters per grid (fused_grid.py)
+            return fused_grid_encode(x01, embeddings, fmeta)
         if self.grid_backend == "block":
             # custom VJP: per-level LOCAL-table scatters (XLA scatter cost
             # grows with table size; local tables are 4-25x smaller than the
@@ -194,7 +212,8 @@ class RADNeRF(nn.Module):
     def _ambient_and_pos(self, position, cond_feat):
         x01 = (position + self.bound) / (2 * self.bound)
         pos_feat = self._encode_grid(
-            x01, self.pos_embeddings, self.pos_grid_meta, self.pos_block_meta
+            x01, self.pos_embeddings, self.pos_grid_meta, self.pos_block_meta,
+            self.pos_fused_meta,
         )
         cond_rep = jnp.broadcast_to(
             cond_feat.reshape(1, -1), (position.shape[0], cond_feat.shape[-1])
@@ -206,7 +225,7 @@ class RADNeRF(nn.Module):
         amb01 = (ambient_pos + 1.0) / 2.0
         ambient_feat = self._encode_grid(
             amb01, self.ambient_embeddings, self.ambient_grid_meta,
-            self.ambient_block_meta,
+            self.ambient_block_meta, self.ambient_fused_meta,
         )
         return pos_feat, ambient_feat, ambient_pos
 

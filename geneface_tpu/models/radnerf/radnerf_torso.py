@@ -23,6 +23,7 @@ from geneface_tpu.models.radnerf.cond_encoder import MLP
 from geneface_tpu.models.radnerf.radnerf import RADNeRF
 from geneface_tpu.ops import freq_encode, init_grid_embeddings, make_grid_meta
 from geneface_tpu.ops.encoders import make_block_grid_meta
+from geneface_tpu.ops.fused_grid import make_fused_grid_meta
 
 __all__ = ["RADNeRFTorso", "sample_torso_occupancy"]
 
@@ -47,9 +48,10 @@ class RADNeRFTorso(RADNeRF):
             gridtype="tiled",
         )
         self.torso_block_meta = make_block_grid_meta(self.torso_grid_meta)
+        self.torso_fused_meta = make_fused_grid_meta(self.torso_grid_meta)
         self.torso_embeddings = self.param(
             "torso_embeddings",
-            lambda rng: init_grid_embeddings(rng, self.torso_grid_meta),
+            self._grid_init(self.torso_grid_meta, self.torso_fused_meta),
         )
         if self.torso_individual_embedding_dim > 0:
             self.torso_individual_codes = self.param(
@@ -113,7 +115,7 @@ class RADNeRFTorso(RADNeRF):
         x_def = jnp.clip(x + dx, -1.0, 1.0)
         grid_feat = self._encode_grid(
             (x_def + 1.0) / 2.0, self.torso_embeddings, self.torso_grid_meta,
-            self.torso_block_meta,
+            self.torso_block_meta, self.torso_fused_meta,
         )
         h = self.torso_canonical_net(jnp.concatenate([grid_feat, h], axis=-1))
         alpha = jax.nn.sigmoid(h[..., :1])

@@ -1,0 +1,376 @@
+"""Fused multi-resolution grid encoder: one row per LEVEL GROUP.
+
+Third (fastest) backend for the RAD-NeRF grid encoders, motivated by the
+measured TPU cost surface (``tools/bench_rowops.py``, v5e, M=524k):
+
+=============  ==================================================
+op             cost per ROW, flat across row widths 32..128
+=============  ==================================================
+row gather     ~2 ns   (tables up to ~287k rows)
+row scatter    ~6 ns   (tables up to ~16k rows; ~16 ns beyond 39k)
+=============  ==================================================
+
+Gathers and scatter-adds are priced per INDEX, not per byte — so the way to
+make a multi-level grid encoder fast is to touch FEWER rows, each as wide as
+the 128-lane registers allow. This module fuses consecutive levels into
+GROUPS: one row per (sample, group) holds the concatenated ``K·C`` corner
+features of every level in the group (``K = 2^D`` corners, ``C`` channels),
+up to the 128-lane width. The default grouping — level 0 alone (exact dense
+interpolation, the low-frequency anchor) plus groups [1..3] and [4..7] —
+needs 3 gathers + 3 scatters per sample per grid instead of 8 + 8.
+
+Semantics vs the reference CUDA encoder (``gridencoder.cu:67-84``):
+
+- level 0 (dense): bit-exact block layout of :mod:`geneface_tpu.ops.encoders`
+  — parity-copied views of the canonical dense table, continuous
+  interpolation, gradients via the slicing transpose.
+- fused groups: the row index is the prime-xor hash of the GROUP'S FINEST
+  level's base-cell block (+parity), modulo the group's row count. Each
+  level still interpolates with its OWN trilinear weights (computed from the
+  input), but its corner features live at the finest level's block
+  granularity — coarse-level features alias/jump at fine-block boundaries.
+  This is the same equal-capacity trade the block backend documents for
+  capped levels (``encoders.py BlockGridMeta``), extended to the grouped
+  coarse levels, in exchange for the 2.7x cut in row operations. The
+  ``reference`` and ``block`` backends remain available for bit-parity and
+  checkpoint import.
+
+Parameters are owned by this layout directly (per-group ``[R_g, G·K·C]``
+tables + the dense level-0 table); total parameter count matches the block
+backend's capped-level budget.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from geneface_tpu.ops.encoders import _HASH_PRIMES, GridMeta
+
+__all__ = [
+    "FusedGridMeta",
+    "make_fused_grid_meta",
+    "init_fused_embeddings",
+    "fused_grid_encode",
+]
+
+
+class FusedGridMeta(NamedTuple):
+    base: GridMeta
+    groups: tuple  # tuple of level-index tuples, e.g. ((0,), (1,2,3), (4,..))
+    modes: tuple  # per group: "dense" (single level) | "hash"
+    n_rows: tuple  # rows of each group table
+    dense_sides: tuple  # per group: entries-per-axis of the dense level (0 if hash)
+    dense_bsides: tuple  # per group: blocks-per-axis (0 if hash)
+
+    @property
+    def input_dim(self):
+        return self.base.input_dim
+
+    @property
+    def level_dim(self):
+        return self.base.level_dim
+
+    @property
+    def num_levels(self):
+        return self.base.num_levels
+
+    @property
+    def output_dim(self):
+        return self.base.output_dim
+
+    def group_width(self, g: int) -> int:
+        K = 1 << self.input_dim
+        return len(self.groups[g]) * K * self.level_dim
+
+
+def _level_scale(meta: GridMeta, lvl: int) -> float:
+    log2_s = math.log2(meta.per_level_scale)
+    return math.exp2(lvl * log2_s) * meta.base_resolution - 1.0
+
+
+def make_fused_grid_meta(
+    meta: GridMeta, groups: tuple | None = None
+) -> FusedGridMeta:
+    """Default grouping: level 0 alone; remaining levels in runs of up to
+    ``128 // (K*C)`` levels (the widest rows the 128-lane registers hold)."""
+    D = meta.input_dim
+    K = 1 << D
+    C = meta.level_dim
+    if groups is None:
+        per_row = max(1, 128 // (K * C))
+        rest = list(range(1, meta.num_levels))
+        groups = ((0,),) + tuple(
+            tuple(rest[i : i + per_row]) for i in range(0, len(rest), per_row)
+        )
+    modes, n_rows, sides, bsides = [], [], [], []
+    for g in groups:
+        hashmap_size = meta.offsets[g[0] + 1] - meta.offsets[g[0]]
+        scale = _level_scale(meta, g[0])
+        resolution = int(math.ceil(scale)) + 1
+        side = resolution if meta.align_corners else resolution + 1
+        if len(g) == 1 and side**D <= hashmap_size:
+            modes.append("dense")
+            sides.append(side)
+            bsides.append(side // 2 + 1)
+            n_rows.append(K * (side // 2 + 1) ** D)
+        else:
+            modes.append("hash")
+            sides.append(0)
+            bsides.append(0)
+            # capacity parity: the group's parameter count equals the sum of
+            # its levels' canonical budgets (offsets diff = min(2^cap,
+            # side^D) entries x C each), packed into G*K*C-wide rows
+            total_entries = sum(
+                meta.offsets[l + 1] - meta.offsets[l] for l in g
+            )
+            n = max(total_entries // (len(g) * K), 1)
+            n_rows.append(n)
+    return FusedGridMeta(
+        base=meta,
+        groups=tuple(tuple(g) for g in groups),
+        modes=tuple(modes),
+        n_rows=tuple(n_rows),
+        dense_sides=tuple(sides),
+        dense_bsides=tuple(bsides),
+    )
+
+
+def init_fused_embeddings(
+    rng: jax.Array, fmeta: FusedGridMeta, std: float = 1e-4
+) -> dict:
+    """Uniform(-std, std) init (reference ``grid.py:139-141``).
+
+    Dense groups hold the CANONICAL ``[side^D, C]`` table (the fast view is
+    materialized per step); hash groups own their ``[R_g, G*K*C]`` rows."""
+    params = {}
+    for gi, g in enumerate(fmeta.groups):
+        key = jax.random.fold_in(rng, gi)
+        if fmeta.modes[gi] == "dense":
+            shape = (fmeta.dense_sides[gi] ** fmeta.input_dim, fmeta.level_dim)
+        else:
+            shape = (fmeta.n_rows[gi], fmeta.group_width(gi))
+        params[f"group_{gi}"] = jax.random.uniform(
+            key, shape, minval=-std, maxval=std, dtype=jnp.float32
+        )
+    return params
+
+
+# ----------------------------------------------------------- index math ----
+def _base_frac(comps, meta: GridMeta, lvl: int):
+    """Per-level integer base + interpolation fraction from clipped inputs."""
+    scale = _level_scale(meta, lvl)
+    off = 0.0 if meta.align_corners else 0.5
+    base, frac = [], []
+    for c in comps:
+        pos = c * scale + off
+        pf = jnp.floor(pos)
+        f = pos - pf
+        if meta.interpolation == "smoothstep":
+            f = f * f * (3.0 - 2.0 * f)
+        base.append(pf.astype(jnp.int32))
+        frac.append(f)
+    return base, frac
+
+
+def _group_rows(comps, fmeta: FusedGridMeta, gi: int):
+    """Row index of group ``gi`` for every sample: dense parity-block
+    addressing for dense groups, prime-xor block hash of the group's FINEST
+    level for hash groups (``encoders._block_level_rows`` semantics)."""
+    meta = fmeta.base
+    D = meta.input_dim
+    lvl = fmeta.groups[gi][-1] if fmeta.modes[gi] == "hash" else fmeta.groups[gi][0]
+    base, _ = _base_frac(comps, meta, lvl)
+    pbits = [b & 1 for b in base]
+    bcoords = [(b + p) >> 1 for b, p in zip(base, pbits)]
+    if fmeta.modes[gi] == "dense":
+        bside = fmeta.dense_bsides[gi]
+        parity, blk, stride = pbits[0], bcoords[0], bside
+        for d in range(1, D):
+            parity = parity + (pbits[d] << d)
+            blk = blk + bcoords[d] * stride
+            stride *= bside
+        return parity * (bside**D) + blk
+    n = fmeta.n_rows[gi]
+    h = bcoords[0].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[0])
+    for d in range(1, D):
+        h = h ^ (bcoords[d].astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[d]))
+    pall = pbits[0]
+    for d in range(1, D):
+        pall = pall + (pbits[d] << d)
+    h = h ^ (pall.astype(jnp.uint32) * jnp.uint32(_HASH_PRIMES[min(D, 6)]))
+    return (h % jnp.uint32(n)).astype(jnp.int32)
+
+
+def _corner_weights(frac, K: int, D: int):
+    w = None
+    for d in range(D):
+        kd = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> d) & 1
+        fd = frac[d][:, None]
+        wd = jnp.where(kd == 1, fd, 1.0 - fd)
+        w = wd if w is None else w * wd
+    return w
+
+
+def _dense_view(table: jax.Array, fmeta: FusedGridMeta, gi: int, dtype):
+    """Canonical dense ``[side^D, C]`` → parity-copied fast view
+    ``[K*bside^D, K*C]`` (same construction as ``build_block_tables``)."""
+    meta = fmeta.base
+    D = meta.input_dim
+    K = 1 << D
+    C = meta.level_dim
+    side = fmeta.dense_sides[gi]
+    bside = fmeta.dense_bsides[gi]
+    dense = table.reshape((side,) * D + (C,))
+    dense_p = jnp.pad(dense, [(1, 2)] * D + [(0, 0)])
+    copies = []
+    for parity in range(K):
+        for corner in range(K):
+            starts = [
+                1 - ((parity >> (D - 1 - a)) & 1) + ((corner >> (D - 1 - a)) & 1)
+                for a in range(D)
+            ]
+            sl = dense_p[tuple(slice(s, s + 2 * bside - 1, 2) for s in starts)]
+            copies.append(sl.reshape(-1, C))
+    percorner = jnp.stack(copies, 0).reshape(K, K, -1, C)
+    return percorner.transpose(0, 2, 1, 3).reshape(-1, K * C).astype(dtype)
+
+
+def _prep(inputs, fmeta):
+    D = fmeta.input_dim
+    prefix = inputs.shape[:-1]
+    x = inputs.reshape(-1, D).astype(jnp.float32)
+    comps_raw = [x[:, d] for d in range(D)]
+    oob = jnp.zeros_like(comps_raw[0], dtype=bool)
+    for c in comps_raw:
+        oob = oob | (c < 0.0) | (c > 1.0)
+    comps = [jnp.clip(c, 0.0, 1.0) for c in comps_raw]
+    return prefix, comps, oob
+
+
+def _forward(inputs, params, fmeta, save_rows=False):
+    meta = fmeta.base
+    D, C = meta.input_dim, meta.level_dim
+    K = 1 << D
+    prefix, comps, oob = _prep(inputs, fmeta)
+
+    outs = [None] * meta.num_levels
+    saved = []
+    for gi, g in enumerate(fmeta.groups):
+        table = params[f"group_{gi}"]
+        if fmeta.modes[gi] == "dense":
+            table = _dense_view(table, fmeta, gi, table.dtype)
+        row = _group_rows(comps, fmeta, gi)
+        rows = table[row].astype(jnp.float32)  # [M, G*K*C]
+        if save_rows:
+            saved.append((row, rows))
+        for j, lvl in enumerate(g):
+            _, frac = _base_frac(comps, meta, lvl)
+            w = _corner_weights(frac, K, D)  # [M, K]
+            feat = rows[:, j * K * C : (j + 1) * K * C].reshape(-1, K, C)
+            outs[lvl] = jnp.einsum("mk,mkc->mc", w, feat)
+    out = jnp.concatenate(outs, axis=-1)
+    out = jnp.where(oob[:, None], 0.0, out)
+    out = out.reshape(*prefix, meta.num_levels * C)
+    return (out, saved) if save_rows else out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def fused_grid_encode(inputs, params, fmeta):
+    """Grouped multi-res grid interpolation → [..., L*C].
+
+    ``params``: dict ``group_<i>`` (see :func:`init_fused_embeddings`).
+    Differentiable in inputs and params; the backward does ONE local-table
+    row scatter per group (the measured cost floor) and reuses the forward's
+    gathered rows for the input gradient (no re-gather).
+    """
+    return _forward(inputs, params, fmeta)
+
+
+def _fge_fwd(inputs, params, fmeta):
+    out, saved = _forward(inputs, params, fmeta, save_rows=True)
+    return out, (inputs, saved, jax.tree_util.tree_map(
+        lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params
+    ))
+
+
+def _fge_bwd(fmeta, res, gout):
+    from geneface_tpu.ops.scatter import scatter_add_rows
+
+    inputs, saved, specs = res
+    meta = fmeta.base
+    D, C = meta.input_dim, meta.level_dim
+    K = 1 << D
+    prefix, comps, oob = _prep(inputs, fmeta)
+    M = comps[0].shape[0]
+    g2 = gout.reshape(-1, meta.num_levels * C).astype(jnp.float32)
+    g2 = jnp.where(oob[:, None], 0.0, g2)
+
+    grad_in_comps = [jnp.zeros_like(comps[0]) for _ in range(D)]
+    grads = {}
+    for gi, g in enumerate(fmeta.groups):
+        row, rows = saved[gi]
+        upd_parts = []
+        for j, lvl in enumerate(g):
+            base, frac = _base_frac(comps, meta, lvl)
+            g_lvl = g2[:, lvl * C : (lvl + 1) * C]  # [M, C]
+            w = _corner_weights(frac, K, D)  # [M, K]
+            upd_parts.append(
+                (w[:, :, None] * g_lvl[:, None, :]).reshape(M, K * C)
+            )
+            # input grads: dy/dfrac_d from the saved rows
+            feat = rows[:, j * K * C : (j + 1) * K * C].reshape(M, K, C)
+            vg = jnp.einsum("mkc,mc->mk", feat, g_lvl)  # [M, K]
+            scale = _level_scale(meta, lvl)
+            for d in range(D):
+                kd = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> d) & 1
+                sign = jnp.where(kd == 1, 1.0, -1.0)
+                wpartial = None
+                for dd in range(D):
+                    if dd == d:
+                        continue
+                    kdd = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> dd
+                    ) & 1
+                    fdd = frac[dd][:, None]
+                    wdd = jnp.where(kdd == 1, fdd, 1.0 - fdd)
+                    wpartial = wdd if wpartial is None else wpartial * wdd
+                terms = sign * (wpartial if wpartial is not None else 1.0) * vg
+                dw = jnp.sum(terms, axis=-1)
+                if meta.interpolation == "smoothstep":
+                    pos = comps[d] * scale + (
+                        0.0 if meta.align_corners else 0.5
+                    )
+                    raw_f = pos - jnp.floor(pos)
+                    dw = dw * (6.0 * raw_f * (1.0 - raw_f))
+                grad_in_comps[d] = grad_in_comps[d] + dw * scale
+
+        upd = jnp.concatenate(upd_parts, axis=-1)  # [M, G*K*C]
+        name = f"group_{gi}"
+        if fmeta.modes[gi] == "dense":
+            gview = scatter_add_rows(row, upd, fmeta.n_rows[gi])
+            transpose_fn = jax.linear_transpose(
+                lambda t: _dense_view(t, fmeta, gi, jnp.float32),
+                jax.ShapeDtypeStruct(specs[name].shape, jnp.float32),
+            )
+            (gcanon,) = transpose_fn(gview)
+            grads[name] = gcanon.astype(specs[name].dtype)
+        else:
+            grads[name] = scatter_add_rows(
+                row, upd, fmeta.n_rows[gi]
+            ).astype(specs[name].dtype)
+
+    grad_in = jnp.stack(grad_in_comps, axis=-1)
+    grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
+    # rebuild grads in the primal params' container (dict OR flax FrozenDict)
+    grads_tree = jax.tree_util.tree_map_with_path(
+        lambda path, spec: grads[path[0].key], specs
+    )
+    return grad_in, grads_tree
+
+
+fused_grid_encode.defvjp(_fge_fwd, _fge_bwd)

@@ -221,27 +221,35 @@ def march_rays_train(
 
     t0 = nears + dt_of(nears) * noises
     grid_flat = occ_grid.reshape(C, -1)
-    if uniform_dt and H % 16 == 0:
-        # one uint8 mip byte per FINE cell: bit0 = fine occupied, bit1 = any
-        # in its 4^3 mid block, bit2 = any in its 16^3 coarse block. One
-        # gather per iteration serves all three skip levels.
-        occ0 = occ_grid[0]
-        Hm, Hco = H // 4, H // 16
-        mid = occ0.reshape(Hm, 4, Hm, 4, Hm, 4).any(axis=(1, 3, 5))
-        coarse = occ0.reshape(Hco, 16, Hco, 16, Hco, 16).any(axis=(1, 3, 5))
-        mid_up = jnp.broadcast_to(
-            mid[:, None, :, None, :, None], (Hm, 4, Hm, 4, Hm, 4)
-        ).reshape(H, H, H)
-        coarse_up = jnp.broadcast_to(
-            coarse[:, None, :, None, :, None], (Hco, 16, Hco, 16, Hco, 16)
-        ).reshape(H, H, H)
+    if uniform_dt:
+        # quantized chebyshev skip field: bit k of the byte says "some
+        # occupied cell lies within chebyshev radius 2^k - 1 of this cell".
+        # The lowest ZERO bit therefore gives a SAFE jump radius — every
+        # lattice point inside the centered (2r+1)^3 box is in an empty
+        # cell, so jumping to the box exit skips them all without changing
+        # the emitted sample set (exactness as the block-mip scheme, but
+        # centered: jumps don't collapse near block boundaries). Built from
+        # the occupancy grid by separable dilation chaining (box dilation
+        # radii compose additively), a few reduce_windows per call.
+        occ0 = occ_grid[0].astype(jnp.uint8)
+
+        def dilate(x, r):
+            for axis in range(3):
+                win = [1, 1, 1]
+                win[axis] = 2 * r + 1
+                x = jax.lax.reduce_window(
+                    x, jnp.uint8(0), jax.lax.max, tuple(win), (1, 1, 1),
+                    "SAME",
+                )
+            return x
+
+        dil1 = dilate(occ0, 1)  # radius 1
+        dil3 = dilate(dil1, 2)  # radius 3
+        dil7 = dilate(dil3, 4)  # radius 7
+        dil15 = dilate(dil7, 8)  # radius 15
         mip_byte = (
-            occ0.astype(jnp.uint8)
-            | (mid_up.astype(jnp.uint8) << 1)
-            | (coarse_up.astype(jnp.uint8) << 2)
+            occ0 | (dil1 << 1) | (dil3 << 2) | (dil7 << 3) | (dil15 << 4)
         ).reshape(-1)
-    else:
-        uniform_dt = False
 
     def occupancy_and_skip(t):
         """Occupancy at position t plus the DDA skip target (cu:466-510)."""
@@ -302,19 +310,21 @@ def march_rays_train(
             lin = (cell3[0] * H + cell3[1]) * H + cell3[2]
             b = mip_byte[lin]  # the ONLY gather of the iteration
             occ_f = (b & 1) > 0
-            # skip level: empty coarse block -> 16^3-cell boundary, empty mid
-            # -> 4^3, else the fine cell. Per-ray level as vector math.
-            level_h = jnp.where(
-                (b & 4) == 0, float(H // 16), jnp.where((b & 2) == 0, float(H // 4), float(H))
+            # safe chebyshev radius = largest 2^k - 1 whose dilation bit is 0
+            r = jnp.where(
+                (b & 16) == 0, 15.0,
+                jnp.where((b & 8) == 0, 7.0,
+                          jnp.where((b & 4) == 0, 3.0,
+                                    jnp.where((b & 2) == 0, 1.0, 0.0))),
             )
+            # distance to the exit of the empty box [cell-r, cell+r]:
+            # face (cell + r + 1)*s - mb along +dir, (cell - r)*s - mb along -
+            cs = 2.0 * mip_bound / H
             t_skip = None
             for cell, p, dc, inv_dc in zip(cell3, pos3, d3, inv_d3):
-                cl = jnp.floor(cell.astype(jnp.float32) * (level_h / H))
-                nxt = (
-                    ((cl + 0.5 + 0.5 * jnp.sign(dc)) * (2.0 / level_h) - 1.0)
-                    * mip_bound
-                    - p
-                ) * inv_dc
+                cf = cell.astype(jnp.float32)
+                face = jnp.where(dc > 0, cf + r + 1.0, cf - r) * cs - mip_bound
+                nxt = (face - p) * inv_dc
                 t_skip = nxt if t_skip is None else jnp.minimum(t_skip, nxt)
             target = t + jnp.maximum(0.0, t_skip)
 

@@ -71,7 +71,7 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         hidden_dim_color=cfg.get("hidden_dim_color", 128),
         individual_embedding_num=cfg.get("individual_embedding_num", 13000),
         individual_embedding_dim=cfg.get("individual_embedding_dim", 4),
-        grid_backend=cfg.get("grid_backend", "block"),
+        grid_backend=cfg.get("grid_backend", "fused"),
     )
     kw.update(extra)
     return cls(**kw)

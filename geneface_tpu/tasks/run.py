@@ -22,10 +22,12 @@ def main():
     ap.add_argument("--reset", action="store_true")
     args = ap.parse_args()
 
+    from geneface_tpu import _enable_persistent_compile_cache
     from geneface_tpu.config import load_config
     from geneface_tpu.parallel import initialize_distributed
     from geneface_tpu.training.trainer import resolve_task
 
+    _enable_persistent_compile_cache(_force=True)
     initialize_distributed()
     work_dir = (
         os.path.join("checkpoints", args.exp_name) if args.exp_name else None

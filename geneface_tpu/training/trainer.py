@@ -207,6 +207,9 @@ def snapshot_code(work_dir: str, src_root: str | None = None):
 
 class Trainer:
     def __init__(self, task: Task):
+        from geneface_tpu import _enable_persistent_compile_cache
+
+        _enable_persistent_compile_cache(_force=True)
         self.task = task
         self.cfg = task.cfg
         self.work_dir = self.cfg.get("work_dir") or os.path.join(

@@ -90,3 +90,66 @@ def test_lip_finetune_phase(synth_dir, tmp_path):
             assert np.isfinite(float(losses["lpips_loss"]))
         assert np.isfinite(float(losses["total_loss"]))
     assert saw_lpips, "lip phase never produced a perceptual loss"
+
+
+def test_lpips_golden_vs_torch_oracle(tmp_path):
+    """Converter + architecture golden: a torch AlexNet-LPIPS oracle with
+    random weights, converted via ``tools.convert_lpips_torch
+    .convert_from_modules``, must match our Flax LPIPS to float tolerance.
+
+    (The pip ``lpips`` package / pretrained weights are not shipped in this
+    image — with them the same path imports the published weights.)
+    """
+    torch = pytest.importorskip("torch")
+    from tools.convert_lpips_torch import convert_from_modules
+
+    from geneface_tpu.models.lpips import load_lpips_npz
+
+    torch.manual_seed(0)
+    cfg = ((3, 64, 11, 4, 2), (64, 192, 5, 1, 2), (192, 384, 3, 1, 1),
+           (384, 256, 3, 1, 1), (256, 256, 3, 1, 1))
+    convs = [torch.nn.Conv2d(i, o, k, s, p) for (i, o, k, s, p) in cfg]
+    for c in convs:
+        torch.nn.init.normal_(c.weight, std=0.05)
+        torch.nn.init.normal_(c.bias, std=0.05)
+    lin_ws = [torch.rand(1, c.out_channels, 1, 1) for c in convs]
+
+    def torch_lpips(x, y):
+        # the published LPIPS formula (lpips package, net='alex'):
+        # scaling layer -> 5 relu conv stages (pools before stages 1, 2)
+        # -> unit-normalize -> weighted squared diff -> spatial mean -> sum
+        shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+        scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+        def feats(t):
+            t = (t - shift) / scale
+            out = []
+            for i, conv in enumerate(convs):
+                if i in (1, 2):
+                    t = torch.nn.functional.max_pool2d(t, 3, 2)
+                t = torch.relu(conv(t))
+                out.append(t)
+            return out
+
+        total = 0.0
+        for f_x, f_y, w in zip(feats(x), feats(y), lin_ws):
+            nx = f_x / (f_x.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            ny = f_y / (f_y.square().sum(1, keepdim=True).sqrt() + 1e-10)
+            d = ((nx - ny) ** 2 * torch.relu(w)).sum(1)
+            total = total + d.mean(dim=(1, 2))
+        return total
+
+    npz = str(tmp_path / "lpips.npz")
+    np.savez(npz, **convert_from_modules(convs, lin_ws))
+    model, params = load_lpips_npz(npz, input_range="pm1")
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    y = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        ref = torch_lpips(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            torch.from_numpy(y.transpose(0, 3, 1, 2)),
+        ).numpy()
+    ours = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)

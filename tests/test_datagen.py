@@ -225,3 +225,77 @@ def test_deepspeech_requires_graph():
 
     with pytest.raises(RuntimeError, match="frozen graph"):
         extract_deepspeech_features(np.zeros(16000, np.float32))
+
+
+def test_mfcc_matches_psf_oracle():
+    """Golden: our scipy-free MFCC vs an independent transcription of
+    python_speech_features.mfcc (package defaults, as the reference's
+    DeepSpeech prep calls it — deepspeech_features.py:216-219). The oracle
+    uses scipy's dct and explicit per-frame loops so implementation errors
+    can't be correlated."""
+    import numpy as np
+    from scipy.fftpack import dct
+
+    from geneface_tpu.datagen._ds_audio import audio_to_mfcc_windows, mfcc
+
+    rng = np.random.RandomState(0)
+    sr = 16000
+    sig = (rng.randn(3 * sr) * 3000).astype(np.int16).astype(np.float64)
+
+    def psf_oracle(signal, numcep=26, nfilt=26, nfft=512, lowhz=0.0):
+        # preemphasis
+        s = np.append(signal[0], signal[1:] - 0.97 * signal[:-1])
+        frame_len, frame_step = 400, 160
+        n = 1 if len(s) <= frame_len else 1 + int(
+            np.ceil((len(s) - frame_len) / frame_step)
+        )
+        pad = np.zeros((n - 1) * frame_step + frame_len - len(s))
+        s = np.concatenate([s, pad])
+        frames = np.empty((n, frame_len))
+        for t in range(n):
+            frames[t] = s[t * frame_step : t * frame_step + frame_len]
+        pspec = (np.abs(np.fft.rfft(frames, nfft)) ** 2) / nfft
+        energy = pspec.sum(1)
+        energy[energy == 0] = np.finfo(np.float64).eps
+
+        def hz2mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        def mel2hz(m):
+            return 700.0 * (10 ** (m / 2595.0) - 1.0)
+
+        mels = np.linspace(hz2mel(lowhz), hz2mel(sr / 2.0), nfilt + 2)
+        bin_ = np.floor((nfft + 1) * mel2hz(mels) / sr)
+        fbank = np.zeros((nfilt, nfft // 2 + 1))
+        for j in range(nfilt):
+            for k in range(int(bin_[j]), int(bin_[j + 1])):
+                fbank[j, k] = (k - bin_[j]) / (bin_[j + 1] - bin_[j])
+            for k in range(int(bin_[j + 1]), int(bin_[j + 2])):
+                fbank[j, k] = (bin_[j + 2] - k) / (bin_[j + 2] - bin_[j + 1])
+        feat = pspec @ fbank.T
+        feat[feat == 0] = np.finfo(np.float64).eps
+        feat = np.log(feat)
+        feat = dct(feat, type=2, axis=1, norm="ortho")[:, :numcep]
+        L = 22
+        lift = 1 + (L / 2.0) * np.sin(np.pi * np.arange(numcep) / L)
+        feat = feat * lift
+        feat[:, 0] = np.log(energy)
+        return feat
+
+    ours = mfcc(sig)
+    ref = psf_oracle(sig)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=2e-4,
+                               atol=2e-4)
+
+    # the full DeepSpeech input prep (stride-2 + context + normalization)
+    rows, T = audio_to_mfcc_windows(sig)
+    feats = ref[::2]
+    padded = np.concatenate(
+        [np.zeros((9, 26)), feats, np.zeros((9, 26))], 0
+    )
+    ref_rows = np.stack(
+        [padded[t : t + 19].reshape(-1) for t in range(len(feats))]
+    )
+    ref_rows = (ref_rows - ref_rows.mean()) / ref_rows.std()
+    np.testing.assert_allclose(rows, ref_rows.astype(np.float32), atol=2e-3)

@@ -72,5 +72,10 @@ def test_tracker_recovers_pose_and_focal():
     )
     err = np.abs(np.asarray(pred) - lms_np).mean()
     assert err < 1.0, f"mean reprojection error {err:.3f}px"
-    # recovered camera translation close to truth
+    # recovered HEAD POSE close to truth (the quantity the NeRF stages
+    # consume): euler to ~1 degree, translation to scene scale
+    eerr = np.abs(np.asarray(out["euler"]) - np.asarray(euler)).mean()
+    assert eerr < 0.02, f"mean euler error {eerr:.4f} rad"
     assert np.abs(out["trans"][:, 2] - np.asarray(trans)[:, 2]).mean() < 0.3
+    terr_xy = np.abs(out["trans"][:, :2] - np.asarray(trans)[:, :2]).mean()
+    assert terr_xy < 0.1, f"mean xy translation error {terr_xy:.4f}"

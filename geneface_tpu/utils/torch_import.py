@@ -206,6 +206,13 @@ def radnerf_params_from_torch(sd: Mapping, params) -> dict:
     and, when the template/state_dict carry them, the torso extras
     (``modules/radnerfs/radnerf_torso.py:17-50``).
     """
+    _p = params["params"] if "params" in params else params
+    if isinstance(_p.get("pos_embeddings"), Mapping):
+        raise ValueError(
+            "cannot import torch grid embeddings into the fused grid layout "
+            "— set grid_backend: 'reference' (or 'block') in the config for "
+            "checkpoint import (docs/migrate_from_geneface.md)"
+        )
     tree = _to_mutable(params)
     out = tree["params"]
 

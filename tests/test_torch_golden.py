@@ -157,7 +157,7 @@ def test_radnerf_import_shape_mismatch_hint():
         grid_level_dim=4, num_layers_ambient=2, hidden_dim_ambient=32,
         num_layers_sigma=2, hidden_dim_sigma=32, geo_feat_dim=32,
         num_layers_color=2, hidden_dim_color=32, individual_embedding_num=4,
-        individual_embedding_dim=4,
+        individual_embedding_dim=4, grid_backend="reference",
     )
     model = model_from_cfg(cfg)
     params = model.init(
@@ -166,6 +166,31 @@ def test_radnerf_import_shape_mismatch_hint():
     )
     sd = {"position_embedder.embeddings": np.zeros((999, 2), np.float32)}
     with pytest.raises(ValueError, match="grid_num_levels"):
+        ti.radnerf_params_from_torch(sd, params)
+
+
+def test_radnerf_import_rejects_fused_backend():
+    """Torch imports target the canonical grid layout; the fused backend's
+    grouped tables must be rejected with a pointer to the right config."""
+    from geneface_tpu.config import Config
+    from geneface_tpu.tasks.radnerf import model_from_cfg
+
+    cfg = Config(
+        cond_type="idexp_lm3d_normalized", cond_out_dim=64, cond_win_size=1,
+        smo_win_size=5, with_att=False, bound=1, grid_type="tiledgrid",
+        log2_hashmap_size=16, desired_resolution=256, grid_num_levels=8,
+        grid_level_dim=4, num_layers_ambient=2, hidden_dim_ambient=32,
+        num_layers_sigma=2, hidden_dim_sigma=32, geo_feat_dim=32,
+        num_layers_color=2, hidden_dim_color=32, individual_embedding_num=4,
+        individual_embedding_dim=4,
+    )
+    model = model_from_cfg(cfg)  # default backend = fused
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 1, 204)), jnp.zeros((8, 3)),
+        jnp.zeros((8, 3)), method=model.init_all,
+    )
+    sd = {"position_embedder.embeddings": np.zeros((999, 2), np.float32)}
+    with pytest.raises(ValueError, match="grid_backend"):
         ti.radnerf_params_from_torch(sd, params)
 
 

@@ -26,6 +26,8 @@ import numpy as np
 from geneface_tpu.ops import (
     composite_rays,
     dilate_grid3d,
+    lattice_span_cells,
+    march_rays_lattice,
     march_rays_train,
     near_far_from_aabb,
 )
@@ -229,6 +231,7 @@ def render_rays_radnerf(
     field_chunks: int = 1,
     mean_samples_per_ray: float | None = None,
     ray_capacity: int | None = None,
+    lattice_K: int | None = None,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -237,6 +240,12 @@ def render_rays_radnerf(
     ``field_fn`` closes over params / cond features / individual codes.
     Returns rgb_map [N,3], depth_map [N], weights_sum [N], ambient_sum [N],
     plus the march mask for diagnostics.
+
+    ``lattice_K``: static lattice budget for the fully-parallel bit-packed
+    march (``ops/raymarch.py march_rays_lattice``) — used when set and the
+    uniform-dt single-cascade regime holds (every face config); the output
+    then carries ``march_span`` (the K any ray actually needed) so callers
+    can retune the bucket. Falls back to the while-loop walk otherwise.
     """
     N = rays_o.shape[0]
     if ray_capacity:
@@ -268,6 +277,7 @@ def render_rays_radnerf(
             density_scale=density_scale,
             field_chunks=field_chunks,
             mean_samples_per_ray=mean_samples_per_ray,
+            lattice_K=lattice_K,
         )
         rgb = jnp.zeros((N, 3), jnp.float32).at[idx].set(
             inner["rgb_map"], mode="drop"
@@ -290,6 +300,7 @@ def render_rays_radnerf(
             "weights": None,
             "n_samples": inner.get("n_samples"),
             "n_culled_rays": N - jnp.sum(hit),
+            "march_span": inner.get("march_span"),
         }
     if aabb is None:
         aabb = make_aabb(bound)
@@ -300,20 +311,47 @@ def render_rays_radnerf(
     noises = (
         jax.random.uniform(rng, (N,)) if rng is not None else jnp.zeros((N,))
     )
-    march = march_rays_train(
-        rays_o,
-        rays_d,
-        occ.occ_grid,
-        nears,
-        fars,
-        noises,
-        bound=bound,
-        dt_gamma=dt_gamma,
-        max_steps=max_steps,
-        cascade=occ.occ_grid.shape[0],
-        grid_size=grid_size,
+    cascade = occ.occ_grid.shape[0]
+    _sqrt3 = math.sqrt(3.0)
+    uniform_dt = cascade == 1 and (
+        min(2.0 * _sqrt3 / grid_size, 2.0 * _sqrt3 / max_steps)
+        == 2.0 * _sqrt3 / grid_size
     )
-    S = max_steps
+    march_span = None
+    if lattice_K and uniform_dt:
+        march = march_rays_lattice(
+            rays_o,
+            rays_d,
+            occ.occ_grid,
+            nears,
+            fars,
+            noises,
+            bound=bound,
+            dt_gamma=dt_gamma,
+            max_steps=max_steps,
+            cascade=1,
+            grid_size=grid_size,
+            lattice_K=int(lattice_K),
+        )
+        march_span = lattice_span_cells(
+            rays_o, rays_d, occ.occ_grid, nears, fars,
+            bound=bound, grid_size=grid_size, max_steps=max_steps,
+        )
+    else:
+        march = march_rays_train(
+            rays_o,
+            rays_d,
+            occ.occ_grid,
+            nears,
+            fars,
+            noises,
+            bound=bound,
+            dt_gamma=dt_gamma,
+            max_steps=max_steps,
+            cascade=cascade,
+            grid_size=grid_size,
+        )
+    S = march.ts.shape[-1]
     sample_capacity = None
     if mean_samples_per_ray:
         # compact-eval capacity: budget of real samples per step, padded to a
@@ -385,6 +423,7 @@ def render_rays_radnerf(
             "ambient_sum": sums[:, 5],
             "weights": None,
             "n_samples": plan.n,
+            "march_span": march_span,
         }
     else:
         # differentiable sample positions (grads reach rays_o/rays_d as in
@@ -439,6 +478,7 @@ def render_rays_radnerf(
         "ambient_sum": comp["ambient_sum"],
         "weights": comp["weights"],
         "n_samples": march.valid.sum(-1),
+        "march_span": march_span,
     }
 
 
@@ -514,6 +554,7 @@ def render_rays_radnerf_torso(
     aabb: jax.Array | None = None,
     mean_samples_per_ray: float | None = None,
     ray_capacity: int | None = None,
+    lattice_K: int | None = None,
 ) -> dict:
     """Head (frozen, stop-gradient) + torso composite
     (``radnerf_torso.py:86-199``): torso mixes with the background, then the
@@ -536,6 +577,7 @@ def render_rays_radnerf_torso(
         aabb=aabb,
         mean_samples_per_ray=mean_samples_per_ray,
         ray_capacity=ray_capacity,
+        lattice_K=lattice_K,
     )
     head = jax.tree_util.tree_map(jax.lax.stop_gradient, head)
 

@@ -26,7 +26,10 @@ from geneface_tpu.ops.morton import (  # noqa: F401
 from geneface_tpu.ops.raymarch import (  # noqa: F401
     MarchResult,
     composite_rays,
+    lattice_span_cells,
+    march_rays_lattice,
     march_rays_train,
     near_far_from_aabb,
+    pack_occ_blocks,
 )
 from geneface_tpu.ops.volume import raw2outputs, render_rays, sample_pdf  # noqa: F401

@@ -36,6 +36,8 @@ import jax.numpy as jnp
 __all__ = [
     "near_far_from_aabb",
     "march_rays_train",
+    "march_rays_lattice",
+    "pack_occ_blocks",
     "composite_rays",
     "MarchResult",
 ]
@@ -392,6 +394,191 @@ def march_rays_train(
     _, t, _, n_valid, ts, dts, dpts = jax.lax.while_loop(cond, body, init)
     valid = slot_iota < n_valid[:, None]
     return MarchResult(ts=ts, dts=dts, valid=valid, depth_ts=dpts)
+
+
+def pack_occ_blocks(occ0: jax.Array) -> jax.Array:
+    """Bit-pack a [H, H, H] bool occupancy grid into 8x8x8-cell blocks.
+
+    Returns uint32 [ (H/8)^3, 16 ]: row b holds the 512 occupancy bits of
+    block b (x-major block order), packed with in-block linear index
+    ``ix*64 + iy*8 + iz`` — word ``ix*2 + (iy>>2)``, bit ``(iy&3)*8 + iz``.
+
+    Why: the marcher's only per-iteration memory traffic is occupancy
+    lookups. 1-D element gathers from the 2M-cell grid cost ~7 ns each on
+    v5e; ROW gathers from a <=16k-row table cost ~2 ns per row
+    (``tools/bench_rowops.py``), so fetching 512 cells per index turns the
+    march's gather bill into elementwise bit tests.
+    """
+    H = occ0.shape[0]
+    assert H % 8 == 0, "grid size must be a multiple of 8"
+    B = H // 8
+    r = occ0.reshape(B, 8, B, 8, B, 8).astype(jnp.uint32)
+    # weight in-block (iy&3, iz) bits within a word
+    iy = jax.lax.broadcasted_iota(jnp.uint32, (4, 8), 0)
+    iz = jax.lax.broadcasted_iota(jnp.uint32, (4, 8), 1)
+    w = jnp.left_shift(jnp.uint32(1), iy * 8 + iz)  # [4, 8]
+    # words[bx, ix, by, iy2, bz] with iy2 = iy>>2 in {0,1}
+    r = r.reshape(B, 8, B, 2, 4, B, 8)
+    words = jnp.sum(
+        r * w.reshape(1, 1, 1, 1, 4, 1, 8).astype(jnp.uint32), axis=(4, 6)
+    )  # [B, 8, B, 2, B]
+    # -> [bx, by, bz, ix*2 + iy2]
+    words = words.transpose(0, 2, 4, 1, 3).reshape(B, B, B, 16)
+    return words.reshape(-1, 16)
+
+
+def _occupied_cell_aabb(occ0: jax.Array, bound: float) -> jax.Array:
+    """Tight world AABB of occupied cells (+1-cell margin), [6] on device.
+
+    Same construction as ``renderer.occupied_aabb`` (kept local: ops must
+    not import models). Falls back to the full cube when the grid is empty.
+    """
+    H = occ0.shape[0]
+    idx = jnp.arange(H, dtype=jnp.float32)
+    mip_bound = min(1.0, bound)
+    lohi = []
+    for ax in ((1, 2), (0, 2), (0, 1)):
+        any_i = jnp.any(occ0, axis=ax)
+        lo = jnp.min(jnp.where(any_i, idx, jnp.float32(H)))
+        hi = jnp.max(jnp.where(any_i, idx, jnp.float32(-1)))
+        lohi.append((lo, hi))
+    empty = ~jnp.any(occ0)
+    los = jnp.stack([((lh[0] - 1.0) / H * 2.0 - 1.0) * mip_bound for lh in lohi])
+    his = jnp.stack([((lh[1] + 2.0) / H * 2.0 - 1.0) * mip_bound for lh in lohi])
+    b = float(bound)
+    full = jnp.asarray([-b, -b, -b, b, b, b], jnp.float32)
+    los = jnp.where(empty, full[:3], jnp.maximum(los, full[:3]))
+    his = jnp.where(empty, full[3:], jnp.minimum(his, full[3:]))
+    return jnp.concatenate([los, his])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "bound", "dt_gamma", "max_steps", "cascade", "grid_size", "lattice_K"
+    ),
+)
+def march_rays_lattice(
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    occ_grid: jax.Array,  # [1, H, H, H] bool
+    nears: jax.Array,  # [N] (from the full training AABB — defines the lattice)
+    fars: jax.Array,  # [N]
+    noises: jax.Array,  # [N] in [0, 1)
+    *,
+    bound: float = 1.0,
+    dt_gamma: float = 0.0,
+    max_steps: int = 16,
+    cascade: int = 1,
+    grid_size: int = 128,
+    lattice_K: int = 32,
+) -> MarchResult:
+    """Fully-parallel exact march for the uniform-dt regime — no while loop.
+
+    Valid whenever ``dt = clamp(t*dt_gamma, dt_min, dt_max)`` saturates at a
+    constant (every face config: ``H >= max_steps`` makes ``dt_min == dt_max``,
+    and ``t*dt_gamma <= dt_min`` throughout the volume). Then the CUDA walk's
+    visited positions are exactly the lattice ``t_k = t0 + k*dt``
+    (``kernel_march_rays_train:353-518``), so marching = testing occupancy at
+    lattice points. Three exactness-preserving reductions make that cheap:
+
+    1. lattice points before the ray enters the tight occupied-cell AABB lie
+       in empty cells (the box bounds every occupied cell with margin) — fast
+       forward by a whole number of steps, keeping lattice alignment;
+    2. only ``lattice_K`` points are tested after entry — callers size the
+       static budget from the box diameter (``span`` in the result's
+       ``depth_ts`` companion metric; see RADNeRFTask's bucket retune). The
+       reference truncates the same way when its pre-sized sample buffer
+       fills (``raymarching.cu:446-457`` drops samples beyond ``M``);
+    3. occupancy comes from one ``[N*K]`` ROW gather of 8^3-cell bit-packed
+       blocks (:func:`pack_occ_blocks`) + elementwise bit tests.
+
+    Returns a :class:`MarchResult` with slab width ``lattice_K`` (not
+    ``max_steps``); the per-ray sample count is still capped at
+    ``max_steps``. Callers that retune ``lattice_K`` can measure the
+    required span with :func:`lattice_span_cells`.
+    """
+    assert cascade == 1, "lattice march requires cascade == 1"
+    N = rays_o.shape[0]
+    H = grid_size
+    K = lattice_K
+    dt_max = 2.0 * _SQRT3 / H
+    dt_min = min(dt_max, 2.0 * _SQRT3 / max_steps)
+    assert dt_min == dt_max, "lattice march requires the uniform-dt regime"
+    dt = dt_min
+    mip_bound = min(1.0, bound)
+
+    o3 = [jax.lax.stop_gradient(rays_o[:, i].astype(jnp.float32)) for i in range(3)]
+    d3 = [jax.lax.stop_gradient(rays_d[:, i].astype(jnp.float32)) for i in range(3)]
+
+    t0 = nears + dt * noises
+    tight = _occupied_cell_aabb(occ_grid[0], bound)
+    tn, tf = near_far_from_aabb(rays_o, rays_d, tight, 0.0)
+    # fast-forward to the tight box on the ORIGINAL lattice
+    k0 = jnp.ceil(jnp.maximum(tn - t0, 0.0) / dt - 1e-5)
+    k0 = jnp.where(tn > 1e30, jnp.float32(2 * H), k0)  # miss -> everything masked
+    t_start = t0 + k0 * dt
+
+    ks = jnp.arange(K, dtype=jnp.float32)[None, :]  # [1, K]
+    ts = t_start[:, None] + ks * dt  # [N, K]
+    in_range = ts < jnp.minimum(fars, tf + dt)[:, None]
+
+    blocks = pack_occ_blocks(occ_grid[0])  # [(H/8)^3, 16] uint32
+    B = H // 8
+    cell3 = []
+    for oc, dc in zip(o3, d3):
+        p = jnp.clip(oc[:, None] + ts * dc[:, None], -bound, bound)
+        cell3.append(
+            jnp.clip(0.5 * (p / mip_bound + 1.0) * H, 0.0, float(H - 1)).astype(
+                jnp.int32
+            )
+        )
+    bx, by, bz = (c >> 3 for c in cell3)
+    row = (bx * B + by) * B + bz  # [N, K]
+    rows = blocks[row.reshape(-1)].reshape(N, K, 16)  # ONE row gather
+    ix, iy, iz = (c & 7 for c in cell3)
+    word_sel = (ix << 1) | (iy >> 2)  # [N, K] in 0..15
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+    word = jnp.sum(
+        jnp.where(lane == word_sel[:, :, None], rows, jnp.uint32(0)), axis=-1
+    )  # [N, K] uint32
+    bit = ((iy & 3) << 3) | iz
+    occ = (jnp.right_shift(word, bit.astype(jnp.uint32)) & jnp.uint32(1)) > 0
+
+    raw = occ & in_range
+    cum = jnp.cumsum(raw.astype(jnp.int32), axis=-1)
+    valid = raw & (cum <= max_steps)
+    dts = jnp.where(valid, dt, 0.0)
+    return MarchResult(
+        ts=jnp.where(valid, ts, 0.0),
+        dts=dts,
+        valid=valid,
+        depth_ts=jnp.where(valid, ts + dt, 0.0),
+    )
+
+
+def lattice_span_cells(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    occ_grid: jax.Array,
+    nears: jax.Array,
+    fars: jax.Array,
+    *,
+    bound: float,
+    grid_size: int,
+    max_steps: int,
+) -> jax.Array:
+    """Max lattice steps any ray needs inside the tight occupied box — the
+    signal for retuning ``lattice_K`` (scalar int32, on device; fetch lagged
+    like the sample-capacity retune)."""
+    H = grid_size
+    dt = min(2.0 * _SQRT3 / H, 2.0 * _SQRT3 / max_steps)
+    tight = _occupied_cell_aabb(occ_grid[0], bound)
+    tn, tf = near_far_from_aabb(rays_o, rays_d, tight, 0.0)
+    lo = jnp.maximum(tn, nears)
+    hi = jnp.minimum(tf, fars)
+    span = jnp.where((tn < 1e30) & (hi > lo), hi - lo, 0.0)
+    return jnp.ceil(jnp.max(span) / dt).astype(jnp.int32) + 1
 
 
 def composite_rays(

@@ -164,6 +164,9 @@ class RADNeRFTask(Task):
             mean_samples_per_ray=float(cfg.get("mean_samples_per_ray", 8)),
         )
 
+    def _march_backend(self) -> str:
+        return str(self.cfg.get("march_backend", "lattice"))
+
     def _expand_light_batch(self, batch):
         """Light batches carry pixel indices + uint8 pixels; reconstruct
         rays / bg coords / face mask / float pixels on device."""
@@ -187,7 +190,7 @@ class RADNeRFTask(Task):
 
     def _loss_fn(
         self, params, occ, batch, rng, train: bool, lip: bool = False,
-        mspr: float | None = None,
+        mspr: float | None = None, latk: int | None = None,
     ):
         cfg = self.cfg
         model = self.model
@@ -211,6 +214,10 @@ class RADNeRFTask(Task):
         rk = self._render_kwargs()
         if mspr is not None:
             rk["mean_samples_per_ray"] = mspr
+        if latk is not None:
+            rk["lattice_K"] = latk
+        elif self._march_backend() == "lattice":
+            rk["lattice_K"] = int(self.cfg.get("lattice_K", 32))
         out = render_rays_radnerf(
             field_fn,
             batch["rays_o"],
@@ -225,6 +232,8 @@ class RADNeRFTask(Task):
         mse = jnp.mean((pred - gt) ** 2)
         losses = {"mse_loss": mse}
         losses["mean_samples"] = jnp.mean(out["n_samples"].astype(jnp.float32))
+        if out.get("march_span") is not None:
+            losses["march_span"] = out["march_span"].astype(jnp.float32)
 
         if train:
             alphas = jnp.clip(out["weights_sum"], 1e-5, 1 - 1e-5)
@@ -266,16 +275,20 @@ class RADNeRFTask(Task):
     # PRE-COMPILED capacities (static shapes), re-checked every
     # ``capacity_check_interval`` steps with a single lagged D2H fetch.
     SPR_BUCKETS = (2.0, 3.0, 4.0, 6.0, 8.0, 12.0, 16.0)
+    #: static lattice budgets for the parallel march (ops/raymarch.py
+    #: march_rays_lattice); retuned from the measured tight-box span
+    LATK_BUCKETS = (16, 24, 32, 48, 64, 96, 128)
 
     def _build_jits(self):
         tx = self.tx
 
-        def _make_train_step(lip: bool, mspr: float | None):
+        def _make_train_step(lip: bool, mspr: float | None, latk: int | None):
             @partial(jax.jit, donate_argnums=(0, 1))
             def train_step(params, opt_state, occ, batch, rng):
                 (_, losses), grads = jax.value_and_grad(
                     lambda p: self._loss_fn(
-                        p, occ, batch, rng, train=True, lip=lip, mspr=mspr
+                        p, occ, batch, rng, train=True, lip=lip, mspr=mspr,
+                        latk=latk,
                     ),
                     has_aux=True,
                 )(params)
@@ -289,11 +302,14 @@ class RADNeRFTask(Task):
         self._make_train_step = _make_train_step
         self._step_fn_cache = {}
         self._spr_bucket = None  # None -> config default capacity
+        self._latk_bucket = None  # None -> config default lattice_K
         self._last_losses = None
 
-        train_step = _make_train_step(lip=False, mspr=None)
+        train_step = _make_train_step(lip=False, mspr=None, latk=None)
         self._train_step_lip_fn = (
-            _make_train_step(lip=True, mspr=None) if self.lpips is not None else None
+            _make_train_step(lip=True, mspr=None, latk=None)
+            if self.lpips is not None
+            else None
         )
 
         @jax.jit
@@ -380,12 +396,19 @@ class RADNeRFTask(Task):
                 [b for b in self.SPR_BUCKETS if b >= 1.3 * mean] or [16.0]
             )
             self._spr_bucket = min(want, float(cfg.get("max_steps", 16)))
+            span = losses.get("march_span")
+            if span is not None:
+                need = 1.15 * float(span)
+                self._latk_bucket = min(
+                    [b for b in self.LATK_BUCKETS if b >= need]
+                    or [self.LATK_BUCKETS[-1]]
+                )
 
     def _step_fn(self, lip: bool):
-        key = (lip, self._spr_bucket)
+        key = (lip, self._spr_bucket, self._latk_bucket)
         if key not in self._step_fn_cache:
             self._step_fn_cache[key] = self._make_train_step(
-                lip=lip, mspr=self._spr_bucket
+                lip=lip, mspr=self._spr_bucket, latk=self._latk_bucket
             )
         return self._step_fn_cache[key]
 

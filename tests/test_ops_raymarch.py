@@ -254,3 +254,74 @@ def test_dilate_grid3d():
     out = np.asarray(dilate_grid3d(jnp.asarray(g)))
     assert out[0, 3:6, 3:6, 3:6].min() == 1.0
     assert out.sum() == 27.0
+
+
+# ------------------------------------------------------- lattice march ----
+def test_march_rays_lattice_matches_walk():
+    """march_rays_lattice (parallel bit-packed) == march_rays_train (the
+    oracle-tested walk) in the uniform-dt regime, including noise jitter,
+    max_steps capping, and tight-box fast-forward."""
+    from geneface_tpu.ops import lattice_span_cells, march_rays_lattice
+
+    rng = np.random.RandomState(3)
+    H, N = 32, 256
+    r = (np.arange(H) + 0.5) / H * 2 - 1
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    occ = (np.sqrt((gx - 0.1) ** 2 + gy**2 + (gz + 0.05) ** 2) < 0.35) | (
+        np.sqrt((gx + 0.5) ** 2 + (gy - 0.3) ** 2 + gz**2) < 0.2
+    )
+    occ_grid = jnp.asarray(occ[None])
+    o = rng.randn(N, 3).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 1.8
+    d = -o + 0.3 * rng.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-1, -0.5, -1, 1, 0.5, 1], jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.05)
+    noise = jnp.asarray(rng.rand(N).astype(np.float32))
+    kw = dict(bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1, grid_size=H)
+    m1 = march_rays_train(jnp.asarray(o), jnp.asarray(d), occ_grid, nears, fars, noise, **kw)
+    span = lattice_span_cells(
+        jnp.asarray(o), jnp.asarray(d), occ_grid, nears, fars,
+        bound=1.0, grid_size=H, max_steps=16,
+    )
+    K = int(span) + 2
+    m2 = march_rays_lattice(
+        jnp.asarray(o), jnp.asarray(d), occ_grid, nears, fars, noise,
+        lattice_K=K, **kw,
+    )
+    n1 = np.asarray(m1.valid.sum(-1))
+    n2 = np.asarray(m2.valid.sum(-1))
+    np.testing.assert_array_equal(n1, n2)
+    t1, v1 = np.asarray(m1.ts), np.asarray(m1.valid)
+    t2, v2 = np.asarray(m2.ts), np.asarray(m2.valid)
+    for i in range(N):
+        np.testing.assert_allclose(t1[i][v1[i]], t2[i][v2[i]], atol=1e-4)
+    assert n1.sum() > 300  # scene actually exercised
+
+    # undersized K truncates to an exact prefix (the CUDA buffer-full
+    # behavior, raymarching.cu:446-457)
+    m3 = march_rays_lattice(
+        jnp.asarray(o), jnp.asarray(d), occ_grid, nears, fars, noise,
+        lattice_K=max(K // 3, 4), **kw,
+    )
+    t3, v3 = np.asarray(m3.ts), np.asarray(m3.valid)
+    for i in range(N):
+        b = t3[i][v3[i]]
+        np.testing.assert_allclose(t1[i][v1[i]][: len(b)], b, atol=1e-4)
+
+
+def test_pack_occ_blocks_roundtrip():
+    from geneface_tpu.ops import pack_occ_blocks
+
+    rng = np.random.RandomState(0)
+    H = 16
+    occ = rng.rand(H, H, H) < 0.3
+    blocks = np.asarray(pack_occ_blocks(jnp.asarray(occ)))
+    B = H // 8
+    for _ in range(200):
+        x, y, z = rng.randint(0, H, 3)
+        row = ((x >> 3) * B + (y >> 3)) * B + (z >> 3)
+        word = ((x & 7) << 1) | ((y & 7) >> 2)
+        bit = ((y & 3) << 3) | (z & 7)
+        got = (int(blocks[row, word]) >> bit) & 1
+        assert got == int(occ[x, y, z])

@@ -19,8 +19,10 @@ from tools.tpu_timeit import device_time
 
 def main():
     M = int(os.environ.get("GF_M", 524288))
-    rows_list = [4096, 16384, 39304, 287496, 2197152]
-    widths = [32, 64, 128]
+    rows_list = [int(r) for r in os.environ.get(
+        "GF_ROWS", "4096,16384,39304,287496,2197152"
+    ).split(",")]
+    widths = [int(w) for w in os.environ.get("GF_WIDTHS", "32,64,128").split(",")]
     key = jax.random.PRNGKey(0)
 
     print(f"M={M} updates/rows gathered; times in ms, per-row ns in ()")

@@ -68,8 +68,10 @@ def main():
     params, occ = state["params"], state["occ"]
     STAGE = os.environ.get("GF_STAGE", "all")
 
+    stages = STAGE.split(",")
+
     def want(name):
-        return STAGE in (name, "all")
+        return name in stages or "all" in stages
     dbatch = task._device_batch(batch, 2)
     model = task.model
 
@@ -101,6 +103,29 @@ def main():
             bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1, grid_size=128,
         ))()
         print("  mean samples/ray:", float(march.valid.sum() / n_rays), flush=True)
+
+    if want('march_lattice'):
+        from geneface_tpu.ops import lattice_span_cells, march_rays_lattice
+
+        nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, 0.05)
+        span = int(lattice_span_cells(
+            rays_o, rays_d, occ.occ_grid, nears, fars,
+            bound=1.0, grid_size=128, max_steps=16,
+        ))
+        K = int(os.environ.get("GF_LATK", 0)) or span + 2
+        print(f"  lattice span={span} -> K={K}", flush=True)
+
+        def stage_latt(i, rays_o, rays_d, occ_grid):
+            ro = rays_o * (1.0 + i.astype(jnp.float32) * 1e-12)
+            nears, fars = near_far_from_aabb(ro, rays_d, aabb, 0.05)
+            noises = jnp.zeros((ro.shape[0],))
+            return march_rays_lattice(
+                ro, rays_d, occ_grid, nears, fars, noises,
+                bound=1.0, dt_gamma=1.0 / 256, max_steps=16, cascade=1,
+                grid_size=128, lattice_K=K,
+            )
+        t = device_time(stage_latt, rays_o, rays_d, occ.occ_grid, iters=5)
+        print(f"march (lattice):  {t*1e3:8.2f} ms", flush=True)
 
     cond_feat = model.apply(params, ebatch["cond_wins"], method=model.cal_cond_feat)
     ind = params["params"]["individual_embeddings"][0]

@@ -85,6 +85,9 @@ class RADNeRF(nn.Module):
     # compute dtype for the field MLPs (params stay f32); bf16 feeds the
     # MXU at full rate and matches instant-ngp's half-precision fused MLPs
     dtype: Any = jnp.bfloat16
+    # propagate d loss/d position through the position grid encoder; off by
+    # default (training stops ray gradients; see _ambient_and_pos)
+    pos_input_grad: bool = False
     # "fused": grouped-row layout (ops/fused_grid.py) — level 0 exact dense,
     # remaining levels fused into <=128-lane rows; 3 gathers + 3 scatters per
     # grid instead of 8 + 8 (row ops are priced per index on TPU,
@@ -198,10 +201,10 @@ class RADNeRF(nn.Module):
         return lambda rng: init_grid_embeddings(rng, meta)
 
     # -- field queries -------------------------------------------------------
-    def _encode_grid(self, x01, embeddings, meta, bmeta, fmeta):
+    def _encode_grid(self, x01, embeddings, meta, bmeta, fmeta, input_grad=True):
         if self.grid_backend == "fused":
             # grouped rows: 3 gathers + 3 scatters per grid (fused_grid.py)
-            return fused_grid_encode(x01, embeddings, fmeta)
+            return fused_grid_encode(x01, embeddings, fmeta, input_grad)
         if self.grid_backend == "block":
             # custom VJP: per-level LOCAL-table scatters (XLA scatter cost
             # grows with table size; local tables are 4-25x smaller than the
@@ -211,9 +214,13 @@ class RADNeRF(nn.Module):
 
     def _ambient_and_pos(self, position, cond_feat):
         x01 = (position + self.bound) / (2 * self.bound)
+        # position input-grads are skipped: the training renderer composites
+        # in compact space with stop-gradiented rays, so d loss/d position is
+        # structurally zero (and costs ~12 ms/step to compute at M=524k).
+        # The ambient grid keeps its input grads — they drive the ambient MLP.
         pos_feat = self._encode_grid(
             x01, self.pos_embeddings, self.pos_grid_meta, self.pos_block_meta,
-            self.pos_fused_meta,
+            self.pos_fused_meta, input_grad=self.pos_input_grad,
         )
         cond_rep = jnp.broadcast_to(
             cond_feat.reshape(1, -1), (position.shape[0], cond_feat.shape[-1])

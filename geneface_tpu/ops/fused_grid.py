@@ -97,12 +97,14 @@ def make_fused_grid_meta(
     meta: GridMeta, groups: tuple | None = None
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
-    ``128 // (K*C)`` levels (the widest rows the 128-lane registers hold)."""
+    ``256 // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e, M=524k):
+    scatter cost/row is flat to W=128 (~6.1 ns) and ~1.6x at W=224-256 —
+    one W=224 scatter still beats two W<=128 ones (5.1 ms vs 7.2 ms)."""
     D = meta.input_dim
     K = 1 << D
     C = meta.level_dim
     if groups is None:
-        per_row = max(1, 128 // (K * C))
+        per_row = max(1, 256 // (K * C))
         rest = list(range(1, meta.num_levels))
         groups = ((0,),) + tuple(
             tuple(rest[i : i + per_row]) for i in range(0, len(rest), per_row)
@@ -240,6 +242,55 @@ def _dense_view(table: jax.Array, fmeta: FusedGridMeta, gi: int, dtype):
     return percorner.transpose(0, 2, 1, 3).reshape(-1, K * C).astype(dtype)
 
 
+def _dense_view_adjoint(gview: jax.Array, fmeta: FusedGridMeta, gi: int):
+    """Adjoint of :func:`_dense_view` — hand-written to avoid the interior
+    (dilated) pads XLA emits for the transpose of the stride-2 slices
+    (~3.8 ms on v5e vs ~0.2 ms for this formulation).
+
+    The transpose of ``slice(start=s, stride=2)`` into a padded axis is a
+    write to positions of parity ``s % 2`` at contiguous offsets ``s // 2`` —
+    so in a parity-factored layout ``[2, (P+1)//2]`` per axis every
+    contribution is a contiguous edge-pad + add. Accumulate the 64
+    (parity, corner) contributions per parity-combo, interleave, crop.
+    """
+    meta = fmeta.base
+    D = meta.input_dim
+    K = 1 << D
+    C = meta.level_dim
+    side = fmeta.dense_sides[gi]
+    bside = fmeta.dense_bsides[gi]
+    P = side + 3  # padded axis length in _dense_view (pad 1 before, 2 after)
+    assert P % 2 == 0
+    Ph = P // 2
+
+    g = gview.reshape(K, bside**D, K, C).astype(jnp.float32)
+    acc = {}
+    for parity in range(K):
+        for corner in range(K):
+            starts = [
+                1 - ((parity >> (D - 1 - a)) & 1) + ((corner >> (D - 1 - a)) & 1)
+                for a in range(D)
+            ]
+            pk = tuple(s % 2 for s in starts)
+            offs = [s // 2 for s in starts]
+            gs = g[parity, :, corner, :].reshape((bside,) * D + (C,))
+            pad = [(o, Ph - o - bside) for o in offs] + [(0, 0)]
+            gs = jnp.pad(gs, pad)
+            acc[pk] = gs if pk not in acc else acc[pk] + gs
+    # assemble [2]*D parity combos -> interleaved padded canonical
+    stacked = jnp.stack(
+        [acc[tuple((c >> (D - 1 - a)) & 1 for a in range(D))] for c in range(K)]
+    ).reshape((2,) * D + (Ph,) * D + (C,))
+    # [p0..pD-1, h0..hD-1, C] -> [h0, p0, h1, p1, ..., C]
+    perm = []
+    for a in range(D):
+        perm += [D + a, a]
+    perm += [2 * D]
+    full = stacked.transpose(perm).reshape((P,) * D + (C,))
+    crop = full[tuple(slice(1, side + 1) for _ in range(D))]
+    return crop.reshape(side**D, C)
+
+
 def _prep(inputs, fmeta):
     D = fmeta.input_dim
     prefix = inputs.shape[:-1]
@@ -279,26 +330,56 @@ def _forward(inputs, params, fmeta, save_rows=False):
     return (out, saved) if save_rows else out
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
-def fused_grid_encode(inputs, params, fmeta):
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_grid_encode(inputs, params, fmeta, need_input_grad=True):
     """Grouped multi-res grid interpolation → [..., L*C].
 
     ``params``: dict ``group_<i>`` (see :func:`init_fused_embeddings`).
     Differentiable in inputs and params; the backward does ONE local-table
     row scatter per group (the measured cost floor) and reuses the forward's
     gathered rows for the input gradient (no re-gather).
+
+    ``need_input_grad=False`` skips the input-gradient computation entirely
+    (returns zeros). Use when the positions are known non-differentiable —
+    e.g. the POSITION grid during training, whose sample coordinates are
+    built from stop-gradiented rays (the renderer composites in compact
+    space and never propagates ray gradients). Measured: the input-grad
+    path costs ~12 ms at M=524k even though its maths is "free" —
+    [M, 8]-shaped intermediates run at 1/16 lane efficiency.
     """
     return _forward(inputs, params, fmeta)
 
 
-def _fge_fwd(inputs, params, fmeta):
+def _fge_fwd(inputs, params, fmeta, need_input_grad):
     out, saved = _forward(inputs, params, fmeta, save_rows=True)
     return out, (inputs, saved, jax.tree_util.tree_map(
         lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params
     ))
 
 
-def _fge_bwd(fmeta, res, gout):
+def _group_frac(comps, meta: GridMeta, levels):
+    """Per-axis interpolation fractions for a run of levels: [M, G] each,
+    plus (for smoothstep) the derivative chain factor d(smooth)/d(raw)."""
+    fr, chain = [], []
+    for d in range(len(comps)):
+        cols, ch = [], []
+        for lvl in levels:
+            scale = _level_scale(meta, lvl)
+            off = 0.0 if meta.align_corners else 0.5
+            pos = comps[d] * scale + off
+            f = pos - jnp.floor(pos)
+            if meta.interpolation == "smoothstep":
+                ch.append((6.0 * f * (1.0 - f)) * scale)
+                f = f * f * (3.0 - 2.0 * f)
+            else:
+                ch.append(jnp.full_like(f, scale))
+            cols.append(f)
+        fr.append(jnp.stack(cols, axis=-1))  # [M, G]
+        chain.append(jnp.stack(ch, axis=-1))  # [M, G]
+    return fr, chain
+
+
+def _fge_bwd(fmeta, need_input_grad, res, gout):
     from geneface_tpu.ops.scatter import scatter_add_rows
 
     inputs, saved, specs = res
@@ -310,62 +391,69 @@ def _fge_bwd(fmeta, res, gout):
     g2 = gout.reshape(-1, meta.num_levels * C).astype(jnp.float32)
     g2 = jnp.where(oob[:, None], 0.0, g2)
 
-    grad_in_comps = [jnp.zeros_like(comps[0]) for _ in range(D)]
+    # bit d of corner k, as +-[1, 1, K] masks
+    kbits = [
+        ((jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2) >> d) & 1)
+        for d in range(D)
+    ]
+
+    grad_in_comps = [None] * D
     grads = {}
     for gi, g in enumerate(fmeta.groups):
         row, rows = saved[gi]
-        upd_parts = []
-        for j, lvl in enumerate(g):
-            base, frac = _base_frac(comps, meta, lvl)
-            g_lvl = g2[:, lvl * C : (lvl + 1) * C]  # [M, C]
-            w = _corner_weights(frac, K, D)  # [M, K]
-            upd_parts.append(
-                (w[:, :, None] * g_lvl[:, None, :]).reshape(M, K * C)
-            )
-            # input grads: dy/dfrac_d from the saved rows
-            feat = rows[:, j * K * C : (j + 1) * K * C].reshape(M, K, C)
-            vg = jnp.einsum("mkc,mc->mk", feat, g_lvl)  # [M, K]
-            scale = _level_scale(meta, lvl)
-            for d in range(D):
-                kd = (jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> d) & 1
-                sign = jnp.where(kd == 1, 1.0, -1.0)
-                wpartial = None
-                for dd in range(D):
-                    if dd == d:
-                        continue
-                    kdd = (
-                        jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) >> dd
-                    ) & 1
-                    fdd = frac[dd][:, None]
-                    wdd = jnp.where(kdd == 1, fdd, 1.0 - fdd)
-                    wpartial = wdd if wpartial is None else wpartial * wdd
-                terms = sign * (wpartial if wpartial is not None else 1.0) * vg
-                dw = jnp.sum(terms, axis=-1)
-                if meta.interpolation == "smoothstep":
-                    pos = comps[d] * scale + (
-                        0.0 if meta.align_corners else 0.5
-                    )
-                    raw_f = pos - jnp.floor(pos)
-                    dw = dw * (6.0 * raw_f * (1.0 - raw_f))
-                grad_in_comps[d] = grad_in_comps[d] + dw * scale
+        G = len(g)
+        fr, chain = _group_frac(comps, meta, g)  # D x [M, G]
+        # per-axis corner weights, levels packed on the lane-major axes:
+        # w_d[m, g, k] = f_d[m,g] if bit_d(k) else 1 - f_d[m,g]
+        w_ax = [
+            jnp.where(kbits[d] == 1, fr[d][:, :, None], 1.0 - fr[d][:, :, None])
+            for d in range(D)
+        ]  # D x [M, G, K]
+        w = w_ax[0]
+        for d in range(1, D):
+            w = w * w_ax[d]  # [M, G, K]
 
-        upd = jnp.concatenate(upd_parts, axis=-1)  # [M, G*K*C]
+        gg = g2[:, g[0] * C : (g[-1] + 1) * C].reshape(M, G, C)
+        # params update: upd[m, g, k, c] = w * gg  -> [M, G*K*C] (full lanes)
+        upd = (w[:, :, :, None] * gg[:, :, None, :]).reshape(M, G * K * C)
+
         name = f"group_{gi}"
         if fmeta.modes[gi] == "dense":
             gview = scatter_add_rows(row, upd, fmeta.n_rows[gi])
-            transpose_fn = jax.linear_transpose(
-                lambda t: _dense_view(t, fmeta, gi, jnp.float32),
-                jax.ShapeDtypeStruct(specs[name].shape, jnp.float32),
-            )
-            (gcanon,) = transpose_fn(gview)
+            gcanon = _dense_view_adjoint(gview, fmeta, gi)
             grads[name] = gcanon.astype(specs[name].dtype)
         else:
             grads[name] = scatter_add_rows(
                 row, upd, fmeta.n_rows[gi]
             ).astype(specs[name].dtype)
 
-    grad_in = jnp.stack(grad_in_comps, axis=-1)
-    grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
+        if not need_input_grad:
+            continue
+        # input grads, all levels of the group at once:
+        # vg[m,g,k] = sum_c feat * gg;  dcomp_d = sum_{g,k} sign_d * (prod_{dd
+        # != d} w_dd) * vg * chain_d  — every intermediate >= G*K lanes wide
+        feat = rows.reshape(M, G, K, C)
+        vg = jnp.sum(feat * gg[:, :, None, :], axis=-1)  # [M, G, K]
+        for d in range(D):
+            partial = None
+            for dd in range(D):
+                if dd == d:
+                    continue
+                partial = w_ax[dd] if partial is None else partial * w_ax[dd]
+            sign = jnp.where(kbits[d] == 1, 1.0, -1.0)
+            dw = jnp.sum(sign * partial * vg, axis=-1)  # [M, G]
+            contrib = jnp.sum(dw * chain[d], axis=-1)  # [M]
+            grad_in_comps[d] = (
+                contrib
+                if grad_in_comps[d] is None
+                else grad_in_comps[d] + contrib
+            )
+
+    if need_input_grad:
+        grad_in = jnp.stack(grad_in_comps, axis=-1)
+        grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
+    else:
+        grad_in = jnp.zeros(prefix + (D,), jnp.float32)
     # rebuild grads in the primal params' container (dict OR flax FrozenDict)
     grads_tree = jax.tree_util.tree_map_with_path(
         lambda path, spec: grads[path[0].key], specs

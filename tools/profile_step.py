@@ -134,6 +134,104 @@ def main():
     xyz = jax.random.uniform(jax.random.PRNGKey(1), (M, 3), minval=-0.5, maxval=0.5)
     dirs = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (M, 1))
 
+    if want('grid') or want('grid_bwd'):
+        # position grid encode in isolation, current backend
+        from geneface_tpu.ops.fused_grid import fused_grid_encode
+
+        x01 = (xyz + 1.0) / 2.0
+        gp = params["params"]["pos_embeddings"]
+        fmeta = model.pos_fused_meta if hasattr(model, "pos_fused_meta") else None
+        # flax: access meta via a bound module
+        bound = model.bind(params)
+        fmeta = bound.pos_fused_meta
+
+        if want('grid'):
+            def stage_grid(i, gp, x01):
+                x = x01 * (1.0 + i.astype(jnp.float32) * 1e-12)
+                return fused_grid_encode(x, gp, fmeta)
+            t = device_time(stage_grid, gp, x01, iters=5)
+            print(f"grid fwd ({M//1000}k): {t*1e3:8.2f} ms", flush=True)
+
+        if want('grid_bwd'):
+            def stage_grid_bwd(i, gp, x01):
+                x = x01 * (1.0 + i.astype(jnp.float32) * 1e-12)
+                def loss(p, xx):
+                    return jnp.sum(fused_grid_encode(xx, p, fmeta))
+                return jax.grad(loss, argnums=(0, 1))(gp, x)
+            t = device_time(stage_grid_bwd, gp, x01, iters=5)
+            print(f"grid fwd+bwd:     {t*1e3:8.2f} ms", flush=True)
+
+    if want('mlp'):
+        # the three field MLPs on synthetic features (no grid encoders)
+        import flax.linen as fnn
+
+        class MLPs(fnn.Module):
+            @fnn.compact
+            def __call__(self, pos_feat, amb_feat, cond, sh, ind):
+                from geneface_tpu.models.radnerf.cond_encoder import MLP as GMLP
+                amb = GMLP(dim_out=2, dim_hidden=128, num_layers=3, dtype=jnp.bfloat16)(
+                    jnp.concatenate([pos_feat, cond], -1))
+                h = GMLP(dim_out=129, dim_hidden=128, num_layers=3, dtype=jnp.bfloat16)(
+                    jnp.concatenate([pos_feat, amb_feat], -1))
+                col = GMLP(dim_out=3, dim_hidden=128, num_layers=2, dtype=jnp.bfloat16)(
+                    jnp.concatenate([sh, h[:, 1:], ind], -1))
+                return h, col, amb
+
+        W = 32
+        pos_feat = jax.random.normal(jax.random.PRNGKey(5), (M, W))
+        amb_feat = jax.random.normal(jax.random.PRNGKey(6), (M, W))
+        condr = jnp.zeros((M, 64))
+        sh = jnp.zeros((M, 16))
+        indr = jnp.zeros((M, 4))
+        mlps = MLPs()
+        mp = mlps.init(jax.random.PRNGKey(7), pos_feat, amb_feat, condr, sh, indr)
+
+        def stage_mlp(i, mp, pos_feat):
+            pf = pos_feat * (1.0 + i.astype(jnp.float32) * 1e-12)
+            return mlps.apply(mp, pf, amb_feat, condr, sh, indr)
+        t = device_time(stage_mlp, mp, pos_feat, iters=5)
+        print(f"mlps fwd ({M//1000}k): {t*1e3:8.2f} ms", flush=True)
+
+        def stage_mlp_bwd(i, mp, pos_feat):
+            pf = pos_feat * (1.0 + i.astype(jnp.float32) * 1e-12)
+            def loss(p):
+                h, col, amb = mlps.apply(p, pf, amb_feat, condr, sh, indr)
+                return (jnp.sum(h.astype(jnp.float32)) + jnp.sum(col.astype(jnp.float32))
+                        + jnp.sum(amb.astype(jnp.float32)))
+            return jax.grad(loss)(mp)
+        t = device_time(stage_mlp_bwd, mp, pos_feat, iters=5)
+        print(f"mlps fwd+bwd:     {t*1e3:8.2f} ms", flush=True)
+
+    if want('ambpos'):
+        def stage_ambpos(i, params, xyz, cond_feat):
+            x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
+            return model.apply(
+                params, x, cond_feat, method=model._ambient_and_pos
+            )
+        t = device_time(stage_ambpos, params, xyz, cond_feat, iters=5)
+        print(f"ambient+pos fwd:  {t*1e3:8.2f} ms", flush=True)
+
+    if want('posenc'):
+        bound = model.bind(params)
+        from geneface_tpu.ops.fused_grid import fused_grid_encode
+        x01 = (xyz + 1.0) / 2.0
+        gp = params["params"]["pos_embeddings"]
+
+        def stage_posenc(i, gp, x01):
+            x = x01 * (1.0 + i.astype(jnp.float32) * 1e-12)
+            return fused_grid_encode(x, gp, bound.pos_fused_meta)
+        t = device_time(stage_posenc, gp, x01, iters=5)
+        print(f"pos encode fwd:   {t*1e3:8.2f} ms", flush=True)
+
+        ga = params["params"]["ambient_embeddings"]
+        amb01 = jax.random.uniform(jax.random.PRNGKey(9), (M, 2))
+
+        def stage_ambenc(i, ga, amb01):
+            x = amb01 * (1.0 + i.astype(jnp.float32) * 1e-12)
+            return fused_grid_encode(x, ga, bound.ambient_fused_meta)
+        t = device_time(stage_ambenc, ga, amb01, iters=5)
+        print(f"amb encode fwd:   {t*1e3:8.2f} ms", flush=True)
+
     if want('field'):
         def stage_field(i, params, xyz, dirs, cond_feat, ind):
             x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)

@@ -88,6 +88,10 @@ class RADNeRF(nn.Module):
     # propagate d loss/d position through the position grid encoder; off by
     # default (training stops ray gradients; see _ambient_and_pos)
     pos_input_grad: bool = False
+    # fold level 0 into the fused hash table too (1 gather + 1 scatter per
+    # grid instead of 2 + 2) at the cost of level-0's exact dense
+    # interpolation — see ops/fused_grid.make_fused_grid_meta
+    fused_single_table: bool = False
     # "fused": grouped-row layout (ops/fused_grid.py) — level 0 exact dense,
     # remaining levels fused into <=128-lane rows; 3 gathers + 3 scatters per
     # grid instead of 8 + 8 (row ops are priced per index on TPU,
@@ -129,8 +133,12 @@ class RADNeRF(nn.Module):
         )
         self.pos_block_meta = make_block_grid_meta(self.pos_grid_meta)
         self.ambient_block_meta = make_block_grid_meta(self.ambient_grid_meta)
-        self.pos_fused_meta = make_fused_grid_meta(self.pos_grid_meta)
-        self.ambient_fused_meta = make_fused_grid_meta(self.ambient_grid_meta)
+        self.pos_fused_meta = make_fused_grid_meta(
+            self.pos_grid_meta, single_table=self.fused_single_table
+        )
+        self.ambient_fused_meta = make_fused_grid_meta(
+            self.ambient_grid_meta, single_table=self.fused_single_table
+        )
         self.pos_embeddings = self.param(
             "pos_embeddings", self._grid_init(self.pos_grid_meta, self.pos_fused_meta)
         )

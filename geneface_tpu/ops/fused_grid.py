@@ -94,15 +94,22 @@ def _level_scale(meta: GridMeta, lvl: int) -> float:
 
 
 def make_fused_grid_meta(
-    meta: GridMeta, groups: tuple | None = None
+    meta: GridMeta, groups: tuple | None = None, single_table: bool = False
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
     ``256 // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e, M=524k):
     scatter cost/row is flat to W=128 (~6.1 ns) and ~1.6x at W=224-256 —
-    one W=224 scatter still beats two W<=128 ones (5.1 ms vs 7.2 ms)."""
+    one W=224 scatter still beats two W<=128 ones (5.1 ms vs 7.2 ms).
+
+    ``single_table=True`` folds level 0 into the hash group too (ONE row
+    gather + ONE grad scatter per grid): fastest, but level 0 loses its
+    exact dense interpolation — its corner features then alias at the
+    finest level's block granularity like every other grouped level."""
     D = meta.input_dim
     K = 1 << D
     C = meta.level_dim
+    if single_table and groups is None:
+        groups = (tuple(range(meta.num_levels)),)
     if groups is None:
         per_row = max(1, 256 // (K * C))
         rest = list(range(1, meta.num_levels))
@@ -303,15 +310,62 @@ def _prep(inputs, fmeta):
     return prefix, comps, oob
 
 
+import numpy as _np
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _selectors(G: int, K: int, C: int, D: int):
+    """Constant selector/broadcast matrices for the flat [M, G*K*C] layout.
+
+    Everything in the encoder runs on flat width-``G*K*C`` tensors (full
+    lane residency; a logical [M, G, K, C] shape puts C=4 on the lanes —
+    1/32 utilization) with thin constant matmuls doing the structured
+    sums/broadcasts on the MXU:
+
+    - ``S``   [G*K*C, G*C]: sum over corners k (forward output)
+    - ``E``   [G, G*K*C]: broadcast a per-level value over its (k, c) block
+    - ``bit`` D x [G*K*C]: corner bit d at each flat position
+    """
+    W = G * K * C
+    S = _np.zeros((W, G * C), _np.float32)
+    E = _np.zeros((G, W), _np.float32)
+    bit = _np.zeros((D, W), _np.float32)
+    for g in range(G):
+        E[g, g * K * C : (g + 1) * K * C] = 1.0
+        for k in range(K):
+            for c in range(C):
+                p = g * K * C + k * C + c
+                S[p, g * C + c] = 1.0
+                for d in range(D):
+                    if (k >> d) & 1:
+                        bit[d, p] = 1.0
+    # numpy, not jnp: jnp constants materialized inside a trace leak tracers
+    # through the lru_cache when reused under a different trace
+    return S, E, bit
+
+
+def _axis_weights(fr, E, bit, D):
+    """Per-axis interpolation weights on the flat layout: D x [M, W]."""
+    out = []
+    for d in range(D):
+        wexp = fr[d] @ E  # [M, W] = per-level frac broadcast over (k, c)
+        out.append(bit[d] * wexp + (1.0 - bit[d]) * (1.0 - wexp))
+    return out
+
+
 def _forward(inputs, params, fmeta, save_rows=False):
     meta = fmeta.base
     D, C = meta.input_dim, meta.level_dim
     K = 1 << D
     prefix, comps, oob = _prep(inputs, fmeta)
+    M = comps[0].shape[0]
 
-    outs = [None] * meta.num_levels
+    outs = []
     saved = []
     for gi, g in enumerate(fmeta.groups):
+        G = len(g)
+        S, E, bit = _selectors(G, K, C, D)
         table = params[f"group_{gi}"]
         if fmeta.modes[gi] == "dense":
             table = _dense_view(table, fmeta, gi, table.dtype)
@@ -319,11 +373,12 @@ def _forward(inputs, params, fmeta, save_rows=False):
         rows = table[row].astype(jnp.float32)  # [M, G*K*C]
         if save_rows:
             saved.append((row, rows))
-        for j, lvl in enumerate(g):
-            _, frac = _base_frac(comps, meta, lvl)
-            w = _corner_weights(frac, K, D)  # [M, K]
-            feat = rows[:, j * K * C : (j + 1) * K * C].reshape(-1, K, C)
-            outs[lvl] = jnp.einsum("mk,mkc->mc", w, feat)
+        fr, _ = _group_frac(comps, meta, g)  # D x [M, G]
+        w_ax = _axis_weights(fr, E, bit, D)
+        w = w_ax[0]
+        for d in range(1, D):
+            w = w * w_ax[d]  # [M, W], full lanes
+        outs.append((w * rows) @ S)  # [M, G*C] — corner sum on the MXU
     out = jnp.concatenate(outs, axis=-1)
     out = jnp.where(oob[:, None], 0.0, out)
     out = out.reshape(*prefix, meta.num_levels * C)
@@ -391,31 +446,22 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
     g2 = gout.reshape(-1, meta.num_levels * C).astype(jnp.float32)
     g2 = jnp.where(oob[:, None], 0.0, g2)
 
-    # bit d of corner k, as +-[1, 1, K] masks
-    kbits = [
-        ((jax.lax.broadcasted_iota(jnp.int32, (1, 1, K), 2) >> d) & 1)
-        for d in range(D)
-    ]
-
     grad_in_comps = [None] * D
     grads = {}
     for gi, g in enumerate(fmeta.groups):
         row, rows = saved[gi]
         G = len(g)
+        S, E, bit = _selectors(G, K, C, D)
         fr, chain = _group_frac(comps, meta, g)  # D x [M, G]
-        # per-axis corner weights, levels packed on the lane-major axes:
-        # w_d[m, g, k] = f_d[m,g] if bit_d(k) else 1 - f_d[m,g]
-        w_ax = [
-            jnp.where(kbits[d] == 1, fr[d][:, :, None], 1.0 - fr[d][:, :, None])
-            for d in range(D)
-        ]  # D x [M, G, K]
+        w_ax = _axis_weights(fr, E, bit, D)  # D x [M, W] flat layout
         w = w_ax[0]
         for d in range(1, D):
-            w = w * w_ax[d]  # [M, G, K]
+            w = w * w_ax[d]
 
-        gg = g2[:, g[0] * C : (g[-1] + 1) * C].reshape(M, G, C)
-        # params update: upd[m, g, k, c] = w * gg  -> [M, G*K*C] (full lanes)
-        upd = (w[:, :, :, None] * gg[:, :, None, :]).reshape(M, G * K * C)
+        gg = g2[:, g[0] * C : (g[-1] + 1) * C]  # [M, G*C]
+        ggexp = gg @ S.T  # [M, W] — cotangent broadcast over corners (MXU)
+        # params update: upd = w * ggexp, already flat for the row scatter
+        upd = w * ggexp
 
         name = f"group_{gi}"
         if fmeta.modes[gi] == "dense":
@@ -429,19 +475,19 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
 
         if not need_input_grad:
             continue
-        # input grads, all levels of the group at once:
-        # vg[m,g,k] = sum_c feat * gg;  dcomp_d = sum_{g,k} sign_d * (prod_{dd
-        # != d} w_dd) * vg * chain_d  — every intermediate >= G*K lanes wide
-        feat = rows.reshape(M, G, K, C)
-        vg = jnp.sum(feat * gg[:, :, None, :], axis=-1)  # [M, G, K]
+        # input grads: dcomp_d[m] = sum_g chain_d[m,g] * sum_{k,c in g}
+        #   sign_d * (prod_{dd != d} w_dd) * rows * ggexp
+        # (the c-sum folds into the flat product since sign/partial are
+        # c-constant); the per-level (k, c) reduction is E^T on the MXU
+        t = rows * ggexp  # [M, W]
         for d in range(D):
             partial = None
             for dd in range(D):
                 if dd == d:
                     continue
                 partial = w_ax[dd] if partial is None else partial * w_ax[dd]
-            sign = jnp.where(kbits[d] == 1, 1.0, -1.0)
-            dw = jnp.sum(sign * partial * vg, axis=-1)  # [M, G]
+            sign = 2.0 * bit[d] - 1.0
+            dw = (sign * partial * t) @ E.T  # [M, G]
             contrib = jnp.sum(dw * chain[d], axis=-1)  # [M]
             grad_in_comps[d] = (
                 contrib

@@ -72,6 +72,7 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         individual_embedding_num=cfg.get("individual_embedding_num", 13000),
         individual_embedding_dim=cfg.get("individual_embedding_dim", 4),
         grid_backend=cfg.get("grid_backend", "fused"),
+        fused_single_table=cfg.get("fused_single_table", False),
     )
     kw.update(extra)
     return cls(**kw)

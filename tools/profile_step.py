@@ -40,6 +40,7 @@ def main():
         finetune_lips=False, lambda_weights_entropy=1e-4, lambda_ambient=0.1,
         seed=0,
         mean_samples_per_ray=float(os.environ.get("GF_MEAN_SPR", 8)),
+        fused_single_table=bool(int(os.environ.get("GF_SINGLE_TABLE", 0))),
     )
     task = RADNeRFTask(cfg)
     state = task.build()
@@ -231,6 +232,64 @@ def main():
             return fused_grid_encode(x, ga, bound.ambient_fused_meta)
         t = device_time(stage_ambenc, ga, amb01, iters=5)
         print(f"amb encode fwd:   {t*1e3:8.2f} ms", flush=True)
+
+    if want('ambconst'):
+        bound = model.bind(params)
+        from geneface_tpu.ops.fused_grid import fused_grid_encode
+        ga = params["params"]["ambient_embeddings"]
+
+        def stage_ambconst(i, ga):
+            x = jnp.full((M, 2), 0.5) * (1.0 + i.astype(jnp.float32) * 1e-9)
+            return fused_grid_encode(x, ga, bound.ambient_fused_meta)
+        t = device_time(stage_ambconst, ga, iters=5)
+        print(f"amb encode const: {t*1e3:8.2f} ms", flush=True)
+
+    if want('mlptanh'):
+        def stage_mlptanh(i, params, xyz, cond_feat):
+            x = xyz * (1.0 + i.astype(jnp.float32) * 1e-12)
+            # pos encode + ambient MLP + tanh, skipping the second encode
+            b = model.bind(params)
+            x01 = (x + b.bound) / (2 * b.bound)
+            from geneface_tpu.ops.fused_grid import fused_grid_encode
+            pos_feat = fused_grid_encode(
+                x01, params["params"]["pos_embeddings"], b.pos_fused_meta, False
+            )
+            cond_rep = jnp.broadcast_to(
+                cond_feat.reshape(1, -1), (x.shape[0], cond_feat.shape[-1])
+            )
+            amb = model.apply(
+                params,
+                jnp.concatenate([pos_feat, cond_rep], axis=-1),
+                method=lambda m, h: m.ambient_net(h),
+            )
+            return jnp.tanh(amb.astype(jnp.float32))
+        t = device_time(stage_mlptanh, params, xyz, cond_feat, iters=5)
+        print(f"pos+mlp+tanh fwd: {t*1e3:8.2f} ms", flush=True)
+
+    if want('barrier'):
+        from geneface_tpu.ops.fused_grid import fused_grid_encode
+        bound = model.bind(params)
+        x01 = (xyz + 1.0) / 2.0
+        gp = params["params"]["pos_embeddings"]
+        Wd = jax.random.normal(jax.random.PRNGKey(11), (96, 128), jnp.bfloat16)
+        cond_rep = jnp.zeros((M, 64))
+
+        def stage_nobar(i, gp, x01, cond_rep, Wd):
+            x = x01 * (1.0 + i.astype(jnp.float32) * 1e-12)
+            pf = fused_grid_encode(x, gp, bound.pos_fused_meta, False)
+            h = jnp.concatenate([pf, cond_rep], -1).astype(jnp.bfloat16)
+            return h @ Wd
+        t = device_time(stage_nobar, gp, x01, cond_rep, Wd, iters=5)
+        print(f"enc->matmul:      {t*1e3:8.2f} ms", flush=True)
+
+        def stage_bar(i, gp, x01, cond_rep, Wd):
+            x = x01 * (1.0 + i.astype(jnp.float32) * 1e-12)
+            pf = fused_grid_encode(x, gp, bound.pos_fused_meta, False)
+            pf = jax.lax.optimization_barrier(pf)
+            h = jnp.concatenate([pf, cond_rep], -1).astype(jnp.bfloat16)
+            return h @ Wd
+        t = device_time(stage_bar, gp, x01, cond_rep, Wd, iters=5)
+        print(f"enc-|bar|->matmul:{t*1e3:8.2f} ms", flush=True)
 
     if want('field'):
         def stage_field(i, params, xyz, dirs, cond_feat, ind):

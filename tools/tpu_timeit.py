@@ -28,7 +28,14 @@ def _runner(step, iters):
             leaves = jax.tree_util.tree_leaves(out)
             s = jnp.float32(0.0)
             for leaf in leaves:
-                s = s + jnp.sum(leaf.ravel()[:1].astype(jnp.float32))
+                # consume EVERY element: reducing only a slice lets XLA
+                # dead-code-eliminate the untouched rows of gather-based
+                # computations (measured: a 13.9 ms grid encode "ran" in
+                # 1.7 ms when only out[0, 0] was consumed). The full-leaf
+                # reduction adds one read of the output (~0.3 ms at 134 MB)
+                # — included in what the subtraction harness cancels only if
+                # both runs share it, which they do.
+                s = s + jnp.sum(leaf.astype(jnp.float32))
             return acc + s
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))

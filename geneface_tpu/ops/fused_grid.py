@@ -316,41 +316,46 @@ from functools import lru_cache
 
 @lru_cache(maxsize=None)
 def _selectors(G: int, K: int, C: int, D: int):
-    """Constant selector/broadcast matrices for the flat [M, G*K*C] layout.
+    """Constant selector/broadcast matrices for the flat lane layouts.
 
-    Everything in the encoder runs on flat width-``G*K*C`` tensors (full
-    lane residency; a logical [M, G, K, C] shape puts C=4 on the lanes —
-    1/32 utilization) with thin constant matmuls doing the structured
-    sums/broadcasts on the MXU:
+    Everything in the encoder runs on flat 2-D tensors (full lane
+    residency; a logical [M, G, K, C] shape puts C=4 on the lanes — 1/32
+    utilization) with thin constant 0/1 matmuls doing the structured
+    sums/broadcasts on the MXU. Weight math lives at width ``G*K`` (4x
+    less HBM traffic than ``G*K*C``) and is expanded across channels once:
 
-    - ``S``   [G*K*C, G*C]: sum over corners k (forward output)
-    - ``E``   [G, G*K*C]: broadcast a per-level value over its (k, c) block
-    - ``bit`` D x [G*K*C]: corner bit d at each flat position
+    - ``S``    [G*K*C, G*C]: sum over corners k (forward output)
+    - ``X``    [G*K, G*K*C]: expand per-corner values across channels
+    - ``Ek``   [G, G*K]: broadcast a per-level value over its corners
+    - ``bitk`` D x [G*K]: corner bit d at each (level, corner) position
     """
     W = G * K * C
     S = _np.zeros((W, G * C), _np.float32)
-    E = _np.zeros((G, W), _np.float32)
-    bit = _np.zeros((D, W), _np.float32)
+    X = _np.zeros((G * K, W), _np.float32)
+    Ek = _np.zeros((G, G * K), _np.float32)
+    bitk = _np.zeros((D, G * K), _np.float32)
     for g in range(G):
-        E[g, g * K * C : (g + 1) * K * C] = 1.0
+        Ek[g, g * K : (g + 1) * K] = 1.0
         for k in range(K):
+            q = g * K + k
+            for d in range(D):
+                if (k >> d) & 1:
+                    bitk[d, q] = 1.0
             for c in range(C):
                 p = g * K * C + k * C + c
                 S[p, g * C + c] = 1.0
-                for d in range(D):
-                    if (k >> d) & 1:
-                        bit[d, p] = 1.0
+                X[q, p] = 1.0
     # numpy, not jnp: jnp constants materialized inside a trace leak tracers
     # through the lru_cache when reused under a different trace
-    return S, E, bit
+    return S, X, Ek, bitk
 
 
-def _axis_weights(fr, E, bit, D):
-    """Per-axis interpolation weights on the flat layout: D x [M, W]."""
+def _axis_weights(fr, Ek, bitk, D):
+    """Per-axis interpolation weights at corner granularity: D x [M, G*K]."""
     out = []
     for d in range(D):
-        wexp = fr[d] @ E  # [M, W] = per-level frac broadcast over (k, c)
-        out.append(bit[d] * wexp + (1.0 - bit[d]) * (1.0 - wexp))
+        wk = fr[d] @ Ek  # [M, G*K] = per-level frac broadcast over corners
+        out.append(bitk[d] * wk + (1.0 - bitk[d]) * (1.0 - wk))
     return out
 
 
@@ -365,7 +370,7 @@ def _forward(inputs, params, fmeta, save_rows=False):
     saved = []
     for gi, g in enumerate(fmeta.groups):
         G = len(g)
-        S, E, bit = _selectors(G, K, C, D)
+        S, X, Ek, bitk = _selectors(G, K, C, D)
         table = params[f"group_{gi}"]
         if fmeta.modes[gi] == "dense":
             table = _dense_view(table, fmeta, gi, table.dtype)
@@ -374,11 +379,12 @@ def _forward(inputs, params, fmeta, save_rows=False):
         if save_rows:
             saved.append((row, rows))
         fr, _ = _group_frac(comps, meta, g)  # D x [M, G]
-        w_ax = _axis_weights(fr, E, bit, D)
-        w = w_ax[0]
+        w_ax = _axis_weights(fr, Ek, bitk, D)
+        wk = w_ax[0]
         for d in range(1, D):
-            w = w * w_ax[d]  # [M, W], full lanes
-        outs.append((w * rows) @ S)  # [M, G*C] — corner sum on the MXU
+            wk = wk * w_ax[d]  # [M, G*K]
+        wexp = wk @ X  # channel expansion, [M, G*K*C]
+        outs.append((wexp * rows) @ S)  # [M, G*C] — corner sum on the MXU
     out = jnp.concatenate(outs, axis=-1)
     out = jnp.where(oob[:, None], 0.0, out)
     out = out.reshape(*prefix, meta.num_levels * C)
@@ -451,17 +457,17 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
     for gi, g in enumerate(fmeta.groups):
         row, rows = saved[gi]
         G = len(g)
-        S, E, bit = _selectors(G, K, C, D)
+        S, X, Ek, bitk = _selectors(G, K, C, D)
         fr, chain = _group_frac(comps, meta, g)  # D x [M, G]
-        w_ax = _axis_weights(fr, E, bit, D)  # D x [M, W] flat layout
-        w = w_ax[0]
+        w_ax = _axis_weights(fr, Ek, bitk, D)  # D x [M, G*K]
+        wk = w_ax[0]
         for d in range(1, D):
-            w = w * w_ax[d]
+            wk = wk * w_ax[d]
 
         gg = g2[:, g[0] * C : (g[-1] + 1) * C]  # [M, G*C]
         ggexp = gg @ S.T  # [M, W] — cotangent broadcast over corners (MXU)
-        # params update: upd = w * ggexp, already flat for the row scatter
-        upd = w * ggexp
+        # params update: upd = w * ggexp, flat for the row scatter
+        upd = (wk @ X) * ggexp
 
         name = f"group_{gi}"
         if fmeta.modes[gi] == "dense":
@@ -475,19 +481,19 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
 
         if not need_input_grad:
             continue
-        # input grads: dcomp_d[m] = sum_g chain_d[m,g] * sum_{k,c in g}
-        #   sign_d * (prod_{dd != d} w_dd) * rows * ggexp
-        # (the c-sum folds into the flat product since sign/partial are
-        # c-constant); the per-level (k, c) reduction is E^T on the MXU
-        t = rows * ggexp  # [M, W]
+        # input grads: dcomp_d[m] = sum_g chain_d[m,g] * sum_{k in g}
+        #   sign_d * (prod_{dd != d} w_dd) * (sum_c rows * ggexp)
+        # — the c-sum (X^T) drops the only full-width tensor to [M, G*K];
+        # everything after runs at corner granularity
+        rg = (rows * ggexp) @ X.T  # [M, G*K]
         for d in range(D):
             partial = None
             for dd in range(D):
                 if dd == d:
                     continue
                 partial = w_ax[dd] if partial is None else partial * w_ax[dd]
-            sign = 2.0 * bit[d] - 1.0
-            dw = (sign * partial * t) @ E.T  # [M, G]
+            sign = 2.0 * bitk[d] - 1.0
+            dw = (sign * partial * rg) @ Ek.T  # [M, G]
             contrib = jnp.sum(dw * chain[d], axis=-1)  # [M]
             grad_in_comps[d] = (
                 contrib

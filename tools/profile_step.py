@@ -105,6 +105,15 @@ def main():
         ))()
         print("  mean samples/ray:", float(march.valid.sum() / n_rays), flush=True)
 
+    if want('pack'):
+        from geneface_tpu.ops import pack_occ_blocks
+
+        def stage_pack(i, og):
+            g = og ^ (i % 2 == 1)
+            return pack_occ_blocks(g[0])
+        t = device_time(stage_pack, occ.occ_grid, iters=5)
+        print(f"pack_occ_blocks:  {t*1e3:8.2f} ms", flush=True)
+
     if want('march_lattice'):
         from geneface_tpu.ops import lattice_span_cells, march_rays_lattice
 

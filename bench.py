@@ -171,6 +171,7 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
                 os.environ.get("GF_INFER_MSPR", 8)
             ),
             ray_capacity=cap,
+            lattice_K=int(os.environ.get("GF_INFER_LATK", 48)),
         )
         return out["rgb_map"]
 

@@ -202,6 +202,11 @@ class RADNeRFInfer:
             grid_size=int(cfg.get("grid_size", 128)),
             mean_samples_per_ray=mspr or None,
             ray_capacity=ray_capacity,
+            # parallel bit-packed march (ops/raymarch.py); 0 -> while-loop walk
+            lattice_K=int(
+                cfg.get("infer_lattice_K", cfg.get("lattice_K", 48))
+            )
+            or None,
         )
         if self.torso:
             occ, torso_occ = occ_and_torso

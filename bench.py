@@ -9,10 +9,16 @@ production ``RADNeRFTask.train_step`` runs them. Baseline: the reference
 trains 250k steps in ~6h on an RTX 3090 Ti => ~11.6 steps/s => ~0.76 M
 rays/s (BASELINE.md).
 
-Inference: full-frame 512^2 renders through the static-capacity ray-cull
-path (the production ``RADNeRFInfer`` configuration). Baseline: the
-reference claims "real-time" on a consumer GPU (~25 FPS target,
-``README.md:23``).
+The benched regime is a DENSE occupancy ball (mean >=4 marched samples/ray,
+printed alongside the headline) — the converged-face regime, not empty
+space; the bench also reports field-point-queries/s so the number can be
+compared against the reference's ~12 M point-queries/s.
+
+Structure (hang-proof by construction): the headline training JSON prints
+IMMEDIATELY after the training phase; the auxiliary 512^2 inference-FPS
+phase runs in a timeboxed SUBPROCESS (``--phase infer``) whose failure or
+timeout cannot take the headline down; the headline line is re-printed last
+so it is always the final JSON line on stdout.
 
 Prints one JSON line per metric; the LAST line is the headline
 (training rays/s/chip).
@@ -20,6 +26,7 @@ Prints one JSON line per metric; the LAST line is the headline
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -28,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_RAYS_PER_S = 0.76e6
 BASELINE_INFER_FPS = 25.0
+#: occupancy ball radius for the trained-grid emulation; 0.6 measures
+#: ~5.2 mean marched samples/ray on the production rect-weighted rays
+OCC_BALL_R = float(os.environ.get("GF_BENCH_OCC_R", 0.6))
+INFER_BUDGET_S = float(os.environ.get("GF_BENCH_INFER_BUDGET", 240))
 
 
 def production_cfg(tmp, n_rays=65536):
@@ -72,15 +83,14 @@ def production_cfg(tmp, n_rays=65536):
     )
 
 
-def trained_grid_occ(cfg):
-    """Emulate a trained occupancy grid: at bench time the model is untrained
-    (its own density sweep would mark ~everything or nothing), so plant the
-    synthetic scene's true geometry analytically (ball r~0.13 + dilation
-    margin) with densities high enough that the periodic EMA updates inside
-    the timed loop keep it stable. The bench's training rays are the
-    production dataset's rect-weighted samples, so the marched
-    samples-per-ray regime matches a converged face grid (the bench prints
-    the measured mean)."""
+def trained_grid_occ(cfg, radius=OCC_BALL_R):
+    """Emulate a converged occupancy grid: at bench time the model is
+    untrained (its own density sweep would mark ~everything or nothing), so
+    plant a dense ball analytically, with densities high enough that the
+    periodic EMA updates inside the timed loop keep it stable. At
+    ``radius=0.6`` the production rect-weighted training rays measure ~5
+    marched samples/ray (the bench prints the measured mean) — the
+    converged-face regime, vs the reference's <=16 cap."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -89,7 +99,7 @@ def trained_grid_occ(cfg):
     H = cfg["grid_size"]
     r = (np.arange(H) + 0.5) / H * 2.0 - 1.0
     gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
-    occ_np = np.sqrt(gx**2 + gy**2 + gz**2) < (0.13 + 4.0 / H)
+    occ_np = np.sqrt(gx**2 + gy**2 + gz**2) < (radius + 4.0 / H)
     density = np.where(occ_np, 4.0 * cfg["density_thresh"], 0.0).reshape(1, -1)
     return OccupancyState(
         density_grid=jnp.asarray(density, jnp.float32),
@@ -98,16 +108,64 @@ def trained_grid_occ(cfg):
     )
 
 
+def preset_capacity_buckets(task, batch):
+    """Measure mean samples/ray + lattice span with a march-only jit and
+    preset the task's static capacity buckets, so the cold run compiles the
+    big train step exactly once (the in-loop retune then confirms the same
+    buckets -> compile-cache hits)."""
+    import jax.numpy as jnp
+
+    from geneface_tpu.models.radnerf.renderer import make_aabb
+    from geneface_tpu.ops import (
+        lattice_span_cells,
+        march_rays_lattice,
+        near_far_from_aabb,
+    )
+    from geneface_tpu.utils.camera import get_rays_device
+
+    cfg, ds = task.cfg, task.train_ds
+    rays_o, rays_d, _, _ = get_rays_device(
+        jnp.asarray(batch["pose_matrix"]), ds.intrinsics,
+        jnp.asarray(batch["inds"]), ds.H, ds.W,
+    )
+    occ_grid = task._bench_occ.occ_grid
+    aabb = make_aabb(float(cfg["bound"]))
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg["min_near"])
+    noises = jnp.zeros(rays_o.shape[0])
+    m = march_rays_lattice(
+        rays_o, rays_d, occ_grid, nears, fars, noises,
+        bound=float(cfg["bound"]), dt_gamma=float(cfg["dt_gamma"]),
+        max_steps=int(cfg["max_steps"]), cascade=1,
+        grid_size=int(cfg["grid_size"]), lattice_K=128,
+    )
+    span = lattice_span_cells(
+        rays_o, rays_d, occ_grid, nears, fars,
+        bound=float(cfg["bound"]), grid_size=int(cfg["grid_size"]),
+        max_steps=int(cfg["max_steps"]),
+    )
+    mean = float(jnp.mean(m.valid.sum(-1).astype(jnp.float32)))
+    want = min([b for b in task.SPR_BUCKETS if b >= 1.3 * mean] or [16.0])
+    task._spr_bucket = min(want, float(cfg["max_steps"]))
+    need = 1.15 * float(span)
+    task._latk_bucket = min(
+        [b for b in task.LATK_BUCKETS if b >= need] or [task.LATK_BUCKETS[-1]]
+    )
+    return mean
+
+
 def bench_train(task, state, n_steps=30):
     import jax
 
     rng = jax.random.PRNGKey(0)
     batches = task.train_batches(0)
 
+    first = next(batches)
+    preset_capacity_buckets(task, first)
+
     # warmup: occupancy update + step compile + capacity-bucket settle
-    for _ in range(3):
+    for i in range(3):
         rng, k = jax.random.split(rng)
-        state, losses = task.train_step(state, next(batches), k)
+        state, losses = task.train_step(state, first if i == 0 else next(batches), k)
     jax.block_until_ready(losses["total_loss"])
     mean_samples = float(losses["mean_samples"])
 
@@ -171,12 +229,15 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
                 os.environ.get("GF_INFER_MSPR", 8)
             ),
             ray_capacity=cap,
-            lattice_K=int(os.environ.get("GF_INFER_LATK", 48)),
+            lattice_K=int(os.environ.get("GF_INFER_LATK", 64)),
         )
         return out["rgb_map"]
 
+    t_c0 = time.time()
     img = render(params, occ, cond, rays_o, rays_d, bg)
     jax.block_until_ready(img)
+    print(f"# infer: first frame (compile) {time.time()-t_c0:.1f} s, "
+          f"ray capacity {cap}", file=sys.stderr)
     t0 = time.time()
     for _ in range(n_frames):
         img = render(params, occ, cond, rays_o, rays_d, bg)
@@ -184,51 +245,101 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
     return (time.time() - t0) / n_frames
 
 
-def main():
+def _build(tmp, plant_occ=True):
     from geneface_tpu.tasks.radnerf import RADNeRFTask
-    from tools.make_synthetic_dataset import make_dataset
 
-    tmp = tempfile.mkdtemp(prefix="gf_bench_")
-    make_dataset(tmp, n_frames=8, hw=512)
-    n_rays = 65536
-    cfg = production_cfg(tmp, n_rays)
+    cfg = production_cfg(tmp)
     task = RADNeRFTask(cfg)
     state = task.build()
-    state["occ"] = trained_grid_occ(cfg)
+    if plant_occ:
+        state["occ"] = trained_grid_occ(cfg)
+        task._bench_occ = state["occ"]
+    return task, state
 
-    dt, mean_samples, state = bench_train(task, state)
-    rays_per_s = n_rays / dt
-    print(
-        f"# train: {dt*1e3:.1f} ms/step, mean marched samples/ray "
-        f"{mean_samples:.2f}, capacity bucket {task._spr_bucket}",
-        file=sys.stderr,
-    )
 
-    try:
-        frame_dt = bench_infer_fps(task, state)
-        print(
-            json.dumps(
-                {
-                    "metric": "radnerf_head_infer_fps_512",
-                    "value": round(1.0 / frame_dt, 2),
-                    "unit": "frames/s/chip",
-                    "vs_baseline": round(1.0 / frame_dt / BASELINE_INFER_FPS, 3),
-                }
-            )
-        )
-    except Exception as e:  # FPS line is auxiliary; keep the headline alive
-        print(f"# infer-fps bench failed: {e!r}", file=sys.stderr)
-
+def run_infer_phase(tmp):
+    task, state = _build(tmp)
+    frame_dt = bench_infer_fps(task, state)
     print(
         json.dumps(
             {
-                "metric": "radnerf_head_train_rays_per_s",
-                "value": round(rays_per_s, 1),
-                "unit": "rays/s/chip",
-                "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+                "metric": "radnerf_head_infer_fps_512",
+                "value": round(1.0 / frame_dt, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(1.0 / frame_dt / BASELINE_INFER_FPS, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    from tools.make_synthetic_dataset import make_dataset
+
+    if "--phase" in sys.argv:
+        phase = sys.argv[sys.argv.index("--phase") + 1]
+    else:
+        phase = "all"
+    if "--data" in sys.argv:
+        tmp = sys.argv[sys.argv.index("--data") + 1]
+    else:
+        tmp = tempfile.mkdtemp(prefix="gf_bench_")
+        make_dataset(tmp, n_frames=8, hw=512)
+
+    if phase == "infer":
+        run_infer_phase(tmp)
+        return
+
+    n_rays = 65536
+    task, state = _build(tmp)
+
+    dt, mean_samples, state = bench_train(task, state)
+    rays_per_s = n_rays / dt
+    queries_per_s = rays_per_s * mean_samples
+    print(
+        f"# train: {dt*1e3:.1f} ms/step, mean marched samples/ray "
+        f"{mean_samples:.2f}, capacity bucket {task._spr_bucket}, "
+        f"lattice_K {task._latk_bucket}, "
+        f"{queries_per_s/1e6:.1f} M field-point-queries/s",
+        file=sys.stderr,
+    )
+    headline = json.dumps(
+        {
+            "metric": "radnerf_head_train_rays_per_s",
+            "value": round(rays_per_s, 1),
+            "unit": "rays/s/chip",
+            "vs_baseline": round(rays_per_s / BASELINE_RAYS_PER_S, 3),
+        }
+    )
+    # headline FIRST — nothing after this line can take it down
+    print(headline, flush=True)
+
+    if phase == "all" and os.environ.get("GF_BENCH_SKIP_INFER", "") != "1":
+        # auxiliary FPS phase, timeboxed in a subprocess: a hang or crash
+        # cannot consume the driver's budget or the headline
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--phase", "infer", "--data", tmp],
+                capture_output=True, text=True, timeout=INFER_BUDGET_S,
+            )
+            sys.stderr.write(r.stderr[-2000:])
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(f"# infer-fps phase rc={r.returncode}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(
+                f"# infer-fps phase skipped: no result within "
+                f"{INFER_BUDGET_S:.0f} s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"# infer-fps phase failed: {e!r}", file=sys.stderr)
+
+    # the LAST JSON line on stdout is always the headline
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

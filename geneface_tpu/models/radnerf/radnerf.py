@@ -92,6 +92,10 @@ class RADNeRF(nn.Module):
     # grid instead of 2 + 2) at the cost of level-0's exact dense
     # interpolation — see ops/fused_grid.make_fused_grid_meta
     fused_single_table: bool = False
+    # fused-backend checkpoint-layout version: lane budget per fused row
+    # decides the grouping and hence the parameter tree shapes. Keep at the
+    # value a checkpoint was saved with (pre-round-2 layouts used 128).
+    fused_row_lanes: int = 256
     # "fused": grouped-row layout (ops/fused_grid.py) — level 0 exact dense,
     # remaining levels fused into <=128-lane rows; 3 gathers + 3 scatters per
     # grid instead of 8 + 8 (row ops are priced per index on TPU,
@@ -134,10 +138,14 @@ class RADNeRF(nn.Module):
         self.pos_block_meta = make_block_grid_meta(self.pos_grid_meta)
         self.ambient_block_meta = make_block_grid_meta(self.ambient_grid_meta)
         self.pos_fused_meta = make_fused_grid_meta(
-            self.pos_grid_meta, single_table=self.fused_single_table
+            self.pos_grid_meta,
+            single_table=self.fused_single_table,
+            row_lanes=self.fused_row_lanes,
         )
         self.ambient_fused_meta = make_fused_grid_meta(
-            self.ambient_grid_meta, single_table=self.fused_single_table
+            self.ambient_grid_meta,
+            single_table=self.fused_single_table,
+            row_lanes=self.fused_row_lanes,
         )
         self.pos_embeddings = self.param(
             "pos_embeddings", self._grid_init(self.pos_grid_meta, self.pos_fused_meta)

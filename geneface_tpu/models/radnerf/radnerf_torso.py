@@ -48,7 +48,9 @@ class RADNeRFTorso(RADNeRF):
             gridtype="tiled",
         )
         self.torso_block_meta = make_block_grid_meta(self.torso_grid_meta)
-        self.torso_fused_meta = make_fused_grid_meta(self.torso_grid_meta)
+        self.torso_fused_meta = make_fused_grid_meta(
+            self.torso_grid_meta, row_lanes=self.fused_row_lanes
+        )
         self.torso_embeddings = self.param(
             "torso_embeddings",
             self._grid_init(self.torso_grid_meta, self.torso_fused_meta),

@@ -318,7 +318,11 @@ def render_rays_radnerf(
         == 2.0 * _sqrt3 / grid_size
     )
     march_span = None
-    if lattice_K and uniform_dt:
+    # lattice march only pairs with the compacted field eval: its slab width
+    # is lattice_K (up to 128), so evaluating the full padded slab (the
+    # mean_samples_per_ray=None path) would cost up to 8x the walk's
+    # [N, max_steps] slab. Non-compact callers get the while-loop walk.
+    if lattice_K and uniform_dt and mean_samples_per_ray:
         march = march_rays_lattice(
             rays_o,
             rays_d,

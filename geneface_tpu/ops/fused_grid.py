@@ -94,12 +94,21 @@ def _level_scale(meta: GridMeta, lvl: int) -> float:
 
 
 def make_fused_grid_meta(
-    meta: GridMeta, groups: tuple | None = None, single_table: bool = False
+    meta: GridMeta,
+    groups: tuple | None = None,
+    single_table: bool = False,
+    row_lanes: int = 256,
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
-    ``256 // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e, M=524k):
-    scatter cost/row is flat to W=128 (~6.1 ns) and ~1.6x at W=224-256 —
-    one W=224 scatter still beats two W<=128 ones (5.1 ms vs 7.2 ms).
+    ``row_lanes // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e,
+    M=524k): scatter cost/row is flat to W=128 (~6.1 ns) and ~1.6x at
+    W=224-256 — one W=224 scatter still beats two W<=128 ones (5.1 ms vs
+    7.2 ms), hence the 256-lane default.
+
+    ``row_lanes`` is a CHECKPOINT-LAYOUT version knob: the grouping decides
+    the parameter tree's table shapes, so fused checkpoints saved under a
+    different grouping only restore with the matching value (config key
+    ``fused_row_lanes``; pre-round-2 checkpoints used 128).
 
     ``single_table=True`` folds level 0 into the hash group too (ONE row
     gather + ONE grad scatter per grid): fastest, but level 0 loses its
@@ -111,10 +120,20 @@ def make_fused_grid_meta(
     if single_table and groups is None:
         groups = (tuple(range(meta.num_levels)),)
     if groups is None:
-        per_row = max(1, 256 // (K * C))
+        per_row = max(1, int(row_lanes) // (K * C))
         rest = list(range(1, meta.num_levels))
         groups = ((0,),) + tuple(
             tuple(rest[i : i + per_row]) for i in range(0, len(rest), per_row)
+        )
+    # the forward concatenates group outputs in order and the backward
+    # slices the cotangent as g2[:, g[0]*C:(g[-1]+1)*C]: both require each
+    # group to be a contiguous ascending run and groups to cover the levels
+    # in order
+    flat = tuple(l for g in groups for l in g)
+    if flat != tuple(range(meta.num_levels)):
+        raise ValueError(
+            f"fused grid groups must be contiguous ascending runs covering "
+            f"levels 0..{meta.num_levels - 1} in order; got {groups}"
         )
     modes, n_rows, sides, bsides = [], [], [], []
     for g in groups:
@@ -267,7 +286,14 @@ def _dense_view_adjoint(gview: jax.Array, fmeta: FusedGridMeta, gi: int):
     side = fmeta.dense_sides[gi]
     bside = fmeta.dense_bsides[gi]
     P = side + 3  # padded axis length in _dense_view (pad 1 before, 2 after)
-    assert P % 2 == 0
+    if P % 2 != 0:
+        # even side (align_corners=True metas): the parity-factored layout
+        # below assumes odd sides; fall back to the generic linear transpose
+        (adj,) = jax.linear_transpose(
+            lambda t: _dense_view(t, fmeta, gi, jnp.float32),
+            jax.ShapeDtypeStruct((side**D, C), jnp.float32),
+        )(gview.astype(jnp.float32))
+        return adj
     Ph = P // 2
 
     g = gview.reshape(K, bside**D, K, C).astype(jnp.float32)

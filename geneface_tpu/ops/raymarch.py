@@ -90,80 +90,6 @@ def _exponent(x: jax.Array) -> jax.Array:
         "bound", "dt_gamma", "max_steps", "cascade", "grid_size", "march_iters"
     ),
 )
-def march_rays_uniform(
-    rays_o: jax.Array,
-    rays_d: jax.Array,
-    occ_grid: jax.Array,
-    nears: jax.Array,
-    fars: jax.Array,
-    noises: jax.Array,
-    *,
-    bound: float = 1.0,
-    dt_gamma: float = 0.0,
-    max_steps: int = 16,
-    cascade: int = 1,
-    grid_size: int = 128,
-    march_iters: int | None = None,  # unused; signature parity
-) -> MarchResult:
-    """Fully-parallel lattice march — EXACT fast path of
-    :func:`march_rays_train` whenever ``dt = clamp(t*dt_gamma, dt_min, dt_max)``
-    saturates at ``dt_min`` over the whole ray range (``t*dt_gamma <= dt_min``,
-    i.e. ``t <= dt_min/dt_gamma``; with the face configs' ``dt_gamma=1/256``
-    that is ``t <= 55``, far above any camera distance).
-
-    In that regime every micro-step of the CUDA walk
-    (``kernel_march_rays_train:353-518``) — both the occupied-advance and the
-    empty-skip do-while — moves ``t`` by exactly ``dt_min``, so the visited
-    positions form the fixed lattice ``t_k = t0 + k*dt_min`` and the emitted
-    samples are precisely the occupied lattice points before ``far``. That is
-    one batched occupancy lookup over ``[N, S]`` — no sequential scan, which
-    is the TPU-native shape of this op.
-
-    Only valid for ``cascade == 1`` (single mip level); callers fall back to
-    the scan version otherwise.
-    """
-    assert cascade == 1, "uniform march requires cascade == 1"
-    N = rays_o.shape[0]
-    S = max_steps
-    H = grid_size
-    dt_max = 2.0 * _SQRT3 / H * 1  # cascade==1
-    dt_min = min(2.0 * _SQRT3 * (1 << 0) / H, 2.0 * _SQRT3 / max_steps)
-    dt_min = min(2.0 * _SQRT3 / H, 2.0 * _SQRT3 / max_steps)
-    # (dt_max >= dt_min always here; clamp saturates at dt_min by assumption)
-    dt = dt_min
-
-    o3 = [jax.lax.stop_gradient(rays_o[:, i].astype(jnp.float32)) for i in range(3)]
-    d3 = [jax.lax.stop_gradient(rays_d[:, i].astype(jnp.float32)) for i in range(3)]
-    t0 = nears + dt * noises
-    ks = jnp.arange(S, dtype=jnp.float32)[None, :]  # [1, S]
-    ts = t0[:, None] + ks * dt  # [N, S]
-
-    mip_bound = min(1.0, bound)
-    grid_flat = occ_grid.reshape(-1)
-    lin = None
-    for comp_o, comp_d in zip(o3, d3):
-        p = jnp.clip(comp_o[:, None] + ts * comp_d[:, None], -bound, bound)
-        cell = jnp.clip(0.5 * (p / mip_bound + 1.0) * H, 0.0, float(H - 1)).astype(
-            jnp.int32
-        )
-        lin = cell if lin is None else lin * H + cell
-    occ = grid_flat[lin]  # [N, S] bool
-    valid = occ & (ts < fars[:, None])
-    dts = jnp.where(valid, dt, 0.0)
-    return MarchResult(
-        ts=jnp.where(valid, ts, 0.0),
-        dts=dts,
-        valid=valid,
-        depth_ts=jnp.where(valid, ts + dt, 0.0),
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
-        "bound", "dt_gamma", "max_steps", "cascade", "grid_size", "march_iters"
-    ),
-)
 def march_rays_train(
     rays_o: jax.Array,  # [N, 3]
     rays_d: jax.Array,  # [N, 3]

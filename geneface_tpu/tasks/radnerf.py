@@ -73,6 +73,7 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         individual_embedding_dim=cfg.get("individual_embedding_dim", 4),
         grid_backend=cfg.get("grid_backend", "fused"),
         fused_single_table=cfg.get("fused_single_table", False),
+        fused_row_lanes=cfg.get("fused_row_lanes", 256),
     )
     kw.update(extra)
     return cls(**kw)
@@ -146,6 +147,19 @@ class RADNeRFTask(Task):
         if weights:
             self.lpips_params = lpips_params_from_npz(weights)
         else:
+            # the reference's lip finetune uses RELEASED LPIPS weights
+            # (tasks/radnerfs/radnerf.py:34); a random-init net is a
+            # meaningless perceptual criterion — make the fallback loud so a
+            # real run can't silently burn the 50k-step lip phase on it
+            import logging
+
+            logging.getLogger("geneface_tpu").warning(
+                "LPIPS weights not configured (cfg key 'lpips_weights'); the "
+                "lip-finetune perceptual loss will use a RANDOM-INIT network. "
+                "Convert the released torch weights with "
+                "tools/convert_lpips_torch.py and set lpips_weights to the "
+                ".npz path before a real training run."
+            )
             P = int(cfg.get("lip_patch_size", 64))
             dummy = jnp.zeros((1, P, P, 3))
             self.lpips_params = self.lpips.init(
@@ -386,24 +400,37 @@ class RADNeRFTask(Task):
         fetch every ``capacity_check_interval`` steps; a bucket change costs
         one recompile (cached thereafter)."""
         cfg = self.cfg
-        if not cfg.get("mean_samples_per_ray", 8):
-            return
         interval = int(cfg.get("capacity_check_interval", 64))
         first = self._last_losses is None
-        if losses is not None and (first or self._step % interval == 0):
-            mean = float(losses["mean_samples"])  # sync point (lagged 1 step)
-            self._last_losses = mean
-            want = min(
-                [b for b in self.SPR_BUCKETS if b >= 1.3 * mean] or [16.0]
+        if losses is None or not (first or self._step % interval == 0):
+            return
+        # lattice_K retune runs regardless of the compaction setting — the
+        # lattice march truncates rays whose occupied span exceeds the budget
+        span = losses.get("march_span")
+        if span is not None:
+            need = 1.15 * float(span)
+            self._latk_bucket = min(
+                [b for b in self.LATK_BUCKETS if b >= need]
+                or [self.LATK_BUCKETS[-1]]
             )
-            self._spr_bucket = min(want, float(cfg.get("max_steps", 16)))
-            span = losses.get("march_span")
-            if span is not None:
-                need = 1.15 * float(span)
-                self._latk_bucket = min(
-                    [b for b in self.LATK_BUCKETS if b >= need]
-                    or [self.LATK_BUCKETS[-1]]
+            if need > self.LATK_BUCKETS[-1]:
+                import logging
+
+                logging.getLogger("geneface_tpu").warning(
+                    "measured march span %.0f cells exceeds the largest "
+                    "lattice_K bucket (%d); rays spanning more occupied "
+                    "cells will be truncated — consider march_backend: walk",
+                    float(span), self.LATK_BUCKETS[-1],
                 )
+        if not cfg.get("mean_samples_per_ray", 8):
+            self._last_losses = float(losses["mean_samples"])
+            return
+        mean = float(losses["mean_samples"])  # sync point (lagged 1 step)
+        self._last_losses = mean
+        want = min(
+            [b for b in self.SPR_BUCKETS if b >= 1.3 * mean] or [16.0]
+        )
+        self._spr_bucket = min(want, float(cfg.get("max_steps", 16)))
 
     def _step_fn(self, lip: bool):
         key = (lip, self._spr_bucket, self._latk_bucket)
@@ -444,6 +471,70 @@ class RADNeRFTask(Task):
     def val_step(self, state, batch, rng):
         dbatch = self._device_batch(batch, self._step)
         return self._val_step_fn(state["params"], state["occ"], dbatch, rng)
+
+    # ------------------------------------------------------- val rendering ----
+    def render_full_frame(self, state, ds=None, idx: int = 0):
+        """Render one full frame deterministically (no ray subsampling) —
+        the TPU analog of the reference's val-time figure renders
+        (``tasks/radnerfs/radnerf.py:202-215,264-265``). Returns
+        (img [H, W, 3] float, gt [H, W, 3] float)."""
+        from geneface_tpu.utils.camera import get_rays
+
+        cfg = self.cfg
+        ds = ds or self.val_ds
+        if not hasattr(self, "_frame_render_fn"):
+            model = self.model
+            rk = self._render_kwargs()
+            if self._march_backend() == "lattice":
+                rk["lattice_K"] = int(
+                    self._latk_bucket or cfg.get("lattice_K", 32)
+                )
+
+            @jax.jit
+            def frame_fn(params, occ, cond, rays_o, rays_d, bg):
+                cond_feat = model.apply(
+                    params, cond, method=model.cal_cond_feat
+                )
+                ind_codes = params["params"].get("individual_embeddings")
+                ind = ind_codes[0] if ind_codes is not None else None
+
+                def field_fn(xyz, dirs):
+                    return model.apply(params, xyz, dirs, cond_feat, ind)
+
+                out = render_rays_radnerf(
+                    field_fn, rays_o, rays_d, occ, bg_color=bg, **rk
+                )
+                return out["rgb_map"]
+
+            self._frame_render_fn = frame_fn
+
+        sample = ds.samples[idx]
+        rays = get_rays(ds.poses[idx], ds.intrinsics, ds.H, ds.W)
+        cond = jnp.asarray(
+            get_cond_window(ds.conds, idx, cfg.get("smo_win_size", 5))
+        )
+        gt, torso = ds._images(sample)
+        gt = gt[..., :3]
+        if torso.shape[-1] == 4:
+            alpha = torso[..., 3:]
+            bg_torso = torso[..., :3] * alpha + ds.bg_img * (1 - alpha)
+        else:
+            bg_torso = torso
+        img = self._frame_render_fn(
+            state["params"], state["occ"], cond,
+            jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
+            jnp.asarray(bg_torso.reshape(-1, 3)),
+        )
+        return np.asarray(img).reshape(ds.H, ds.W, 3), gt
+
+    def on_validation_end(self, state, step, logger):
+        if not self.cfg.get("val_render_frame", True):
+            return
+        img, gt = self.render_full_frame(state)
+        mse = float(np.mean((img - gt) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        logger.log_image("val/render", img, step)
+        logger.log_scalars({"full_frame_psnr": psnr}, step, prefix="val/")
 
     # -------------------------------------------------------------- data ----
     def train_batches(self, start_step):

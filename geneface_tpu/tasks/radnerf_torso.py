@@ -268,3 +268,68 @@ class RADNeRFTorsoTask(RADNeRFTask):
         return self._val_step_fn(
             state["params"], state["occ"], state["torso_occ"], dbatch, rng
         )
+
+    def render_full_frame(self, state, ds=None, idx: int = 0):
+        """Full head+torso composite of one val frame (torso analog of
+        ``RADNeRFTask.render_full_frame``; reference logs these figures at
+        ``tasks/radnerfs/radnerf.py:264-265``)."""
+        from geneface_tpu.data.radnerf_dataset import get_cond_window
+        from geneface_tpu.utils.camera import get_rays
+
+        cfg = self.cfg
+        ds = ds or self.val_ds
+        if not hasattr(self, "_frame_render_fn"):
+            model = self.model
+
+            @jax.jit
+            def frame_fn(
+                params, occ, torso_occ, cond, pose6, t_ind,
+                rays_o, rays_d, bg_coords, bg,
+            ):
+                cond_feat = model.apply(
+                    params, cond, method=model.cal_cond_feat
+                )
+                ind_codes = params["params"].get("individual_embeddings")
+                ind = ind_codes[0] if ind_codes is not None else None
+
+                def field_fn(xyz, dirs):
+                    return model.apply(params, xyz, dirs, cond_feat, ind)
+
+                def torso_fn(xy, head_img, head_ws):
+                    return model.apply(
+                        params, xy, pose6, t_ind, head_img, head_ws,
+                        method=model.forward_torso,
+                    )
+
+                out = render_rays_radnerf_torso(
+                    field_fn, torso_fn, rays_o, rays_d, bg_coords,
+                    occ, torso_occ,
+                    bound=float(cfg.get("bound", 1)),
+                    min_near=float(cfg.get("min_near", 0.05)),
+                    dt_gamma=float(cfg.get("dt_gamma", 1.0 / 256)),
+                    max_steps=int(cfg.get("max_steps", 16)),
+                    grid_size=self.grid_size,
+                    density_thresh_torso=float(
+                        cfg.get("density_thresh_torso", 0.01)
+                    ),
+                    bg_color=bg,
+                )
+                return out["rgb_map"]
+
+            self._frame_render_fn = frame_fn
+
+        sample = ds.samples[idx]
+        rays = get_rays(ds.poses[idx], ds.intrinsics, ds.H, ds.W)
+        cond = jnp.asarray(
+            get_cond_window(ds.conds, idx, cfg.get("smo_win_size", 5))
+        )
+        t_codes = state["params"]["params"].get("torso_individual_codes")
+        t_ind = t_codes[idx % t_codes.shape[0]] if t_codes is not None else None
+        gt = ds._images(sample)[0][..., :3]
+        img = self._frame_render_fn(
+            state["params"], state["occ"], state["torso_occ"], cond,
+            jnp.asarray(ds.poses6[idx : idx + 1]), t_ind,
+            jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
+            jnp.asarray(ds.bg_coords), jnp.asarray(ds.bg_img.reshape(-1, 3)),
+        )
+        return np.asarray(img).reshape(ds.H, ds.W, 3), gt

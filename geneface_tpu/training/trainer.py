@@ -127,6 +127,10 @@ class Task:
     def on_restore(self, state, extra: dict):
         return state
 
+    def on_validation_end(self, state, step: int, logger) -> None:
+        """Called after each logged validation sweep — tasks may render
+        human-checkable artifacts (e.g. a full val frame) to ``logger``."""
+
     @classmethod
     def start(cls, cfg: Config):
         """CLI entry (reference ``BaseTask.start``/``tasks/run.py``):
@@ -311,5 +315,6 @@ class Trainer:
                 + ", ".join(f"{k}={v:.4g}" for k, v in sorted(avgs.items())),
                 flush=True,
             )
+            self.task.on_validation_end(state, step, self.logger)
         key = cfg.get("valid_monitor_key", "total_loss")
         return avgs.get(key, avgs.get("total_loss", float("nan")))

@@ -43,14 +43,28 @@ class MetricsLogger:
             f.write(json.dumps({"step": step, "ts": time.time(), **clean}) + "\n")
 
     def log_image(self, tag: str, img, step: int) -> None:
-        """``img``: HWC uint8 or float [0,1] numpy array."""
-        if self._tb is not None:
-            import numpy as np
+        """``img``: HWC uint8 or float [0,1] numpy array. Written to
+        TensorBoard (when available) AND as a PNG under
+        ``work_dir/images/<tag>/step_<n>.png`` so headless runs keep a
+        human-checkable artifact (reference logs val render figures to TB,
+        ``tasks/radnerfs/radnerf.py:264-265``)."""
+        import numpy as np
 
-            arr = np.asarray(img)
-            if arr.dtype != "uint8":
-                arr = (arr.clip(0, 1) * 255).astype("uint8")
+        arr = np.asarray(img)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype("uint8")
+        if self._tb is not None:
             self._tb.add_image(tag, arr, step, dataformats="HWC")
+        img_dir = os.path.join(self.work_dir, "images", tag.replace("/", "_"))
+        os.makedirs(img_dir, exist_ok=True)
+        try:
+            from PIL import Image
+
+            Image.fromarray(arr).save(
+                os.path.join(img_dir, f"step_{step}.png")
+            )
+        except Exception:
+            np.save(os.path.join(img_dir, f"step_{step}.npy"), arr)
 
     def close(self) -> None:
         if self._tb is not None:

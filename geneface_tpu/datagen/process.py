@@ -210,6 +210,7 @@ def process_video(
     parse_fn=None,  # (frame u8 [H,W,3]) -> mask int [H,W]
     lm_fn=None,  # (frame u8 [H,W,3]) -> [68,2] float pixel coords
     basis=None,  # FaceBasis for tracking
+    full_basis=None,  # face_renderer.FullFaceBasis -> photometric refine
     fps: int = 25,
     max_frames: int | None = None,
     wav_path: str | None = None,  # pre-extracted audio; skips task 1
@@ -276,6 +277,14 @@ def process_video(
     if basis is None:
         raise ValueError("face tracking needs a FaceBasis (see basis_from_bfm)")
     track = fit_sequence(lms, basis, H, W)
+    if full_basis is not None:
+        # photometric refinement against the real frames (the reference's
+        # differentiable-render stages, face_tracker.py:225-385)
+        from geneface_tpu.datagen.face_tracker import refine_photometric
+
+        track = refine_photometric(
+            track, full_basis, frames.astype(np.float32) / 255.0, lms, H, W
+        )
     export_transforms(out_dir, track, H, W, rects)
 
     return {

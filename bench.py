@@ -144,7 +144,10 @@ def preset_capacity_buckets(task, batch):
         max_steps=int(cfg["max_steps"]),
     )
     mean = float(jnp.mean(m.valid.sum(-1).astype(jnp.float32)))
-    want = min([b for b in task.SPR_BUCKETS if b >= 1.3 * mean] or [16.0])
+    headroom = float(task.cfg.get("capacity_headroom", 1.15))
+    want = min(
+        [b for b in task.SPR_BUCKETS if b >= headroom * mean] or [16.0]
+    )
     task._spr_bucket = min(want, float(cfg["max_steps"]))
     need = 1.15 * float(span)
     task._latk_bucket = min(

@@ -96,6 +96,13 @@ class RADNeRF(nn.Module):
     # decides the grouping and hence the parameter tree shapes. Keep at the
     # value a checkpoint was saved with (pre-round-2 layouts used 128).
     fused_row_lanes: int = 256
+    # "f32" | "bf16": compute dtype of the fused encoder's wide tensors
+    # (params + grad accumulators stay f32; see ops/fused_grid.py)
+    grid_compute_dtype: str = "f32"
+    # single-table the AMBIENT grid only: the ambient coordinate is a
+    # learned 2-D latent, so its level-0 may tolerate hashed aliasing that
+    # the positional level-0 (the scene's low-frequency anchor) cannot
+    ambient_single_table: bool = False
     # "fused": grouped-row layout (ops/fused_grid.py) — level 0 exact dense,
     # remaining levels fused into <=128-lane rows; 3 gathers + 3 scatters per
     # grid instead of 8 + 8 (row ops are priced per index on TPU,
@@ -141,11 +148,13 @@ class RADNeRF(nn.Module):
             self.pos_grid_meta,
             single_table=self.fused_single_table,
             row_lanes=self.fused_row_lanes,
+            compute=self.grid_compute_dtype,
         )
         self.ambient_fused_meta = make_fused_grid_meta(
             self.ambient_grid_meta,
-            single_table=self.fused_single_table,
+            single_table=self.fused_single_table or self.ambient_single_table,
             row_lanes=self.fused_row_lanes,
+            compute=self.grid_compute_dtype,
         )
         self.pos_embeddings = self.param(
             "pos_embeddings", self._grid_init(self.pos_grid_meta, self.pos_fused_meta)

@@ -49,7 +49,9 @@ class RADNeRFTorso(RADNeRF):
         )
         self.torso_block_meta = make_block_grid_meta(self.torso_grid_meta)
         self.torso_fused_meta = make_fused_grid_meta(
-            self.torso_grid_meta, row_lanes=self.fused_row_lanes
+            self.torso_grid_meta,
+            row_lanes=self.fused_row_lanes,
+            compute=self.grid_compute_dtype,
         )
         self.torso_embeddings = self.param(
             "torso_embeddings",

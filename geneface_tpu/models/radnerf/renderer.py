@@ -337,10 +337,7 @@ def render_rays_radnerf(
             grid_size=grid_size,
             lattice_K=int(lattice_K),
         )
-        march_span = lattice_span_cells(
-            rays_o, rays_d, occ.occ_grid, nears, fars,
-            bound=bound, grid_size=grid_size, max_steps=max_steps,
-        )
+        march_span = march.span  # retune signal, computed inside the march
     else:
         march = march_rays_train(
             rays_o,

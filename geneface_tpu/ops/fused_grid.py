@@ -66,6 +66,11 @@ class FusedGridMeta(NamedTuple):
     n_rows: tuple  # rows of each group table
     dense_sides: tuple  # per group: entries-per-axis of the dense level (0 if hash)
     dense_bsides: tuple  # per group: blocks-per-axis (0 if hash)
+    #: "f32" | "bf16": dtype of the wide [M, G*K*C] gather/product tensors.
+    #: bf16 halves the HBM traffic of the elementwise/matmul pipeline (the
+    #: step is traffic-bound there); parameters and the grad accumulators
+    #: stay f32 (scatter_add_rows always accumulates f32).
+    compute: str = "f32"
 
     @property
     def input_dim(self):
@@ -88,6 +93,17 @@ class FusedGridMeta(NamedTuple):
         return len(self.groups[g]) * K * self.level_dim
 
 
+def _group_compute_dtype(fmeta: "FusedGridMeta", gi: int):
+    """Per-group compute dtype: "mixed" keeps dense (low-frequency anchor)
+    groups in f32 — their features carry the precision-sensitive base — and
+    runs hash groups in bf16."""
+    if fmeta.compute == "bf16":
+        return jnp.bfloat16
+    if fmeta.compute == "mixed" and fmeta.modes[gi] == "hash":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _level_scale(meta: GridMeta, lvl: int) -> float:
     log2_s = math.log2(meta.per_level_scale)
     return math.exp2(lvl * log2_s) * meta.base_resolution - 1.0
@@ -98,6 +114,7 @@ def make_fused_grid_meta(
     groups: tuple | None = None,
     single_table: bool = False,
     row_lanes: int = 256,
+    compute: str = "f32",
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
     ``row_lanes // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e,
@@ -158,6 +175,10 @@ def make_fused_grid_meta(
             )
             n = max(total_entries // (len(g) * K), 1)
             n_rows.append(n)
+    if compute not in ("f32", "bf16", "mixed"):
+        raise ValueError(
+            f"compute must be 'f32', 'bf16' or 'mixed', got {compute!r}"
+        )
     return FusedGridMeta(
         base=meta,
         groups=tuple(tuple(g) for g in groups),
@@ -165,6 +186,7 @@ def make_fused_grid_meta(
         n_rows=tuple(n_rows),
         dense_sides=tuple(sides),
         dense_bsides=tuple(bsides),
+        compute=compute,
     )
 
 
@@ -395,22 +417,31 @@ def _forward(inputs, params, fmeta, save_rows=False):
     outs = []
     saved = []
     for gi, g in enumerate(fmeta.groups):
+        ct = _group_compute_dtype(fmeta, gi)
         G = len(g)
         S, X, Ek, bitk = _selectors(G, K, C, D)
         table = params[f"group_{gi}"]
         if fmeta.modes[gi] == "dense":
-            table = _dense_view(table, fmeta, gi, table.dtype)
+            table = _dense_view(table, fmeta, gi, ct)
+        else:
+            table = table.astype(ct)
         row = _group_rows(comps, fmeta, gi)
-        rows = table[row].astype(jnp.float32)  # [M, G*K*C]
+        rows = table[row]  # [M, G*K*C] in compute dtype
         if save_rows:
             saved.append((row, rows))
         fr, _ = _group_frac(comps, meta, g)  # D x [M, G]
         w_ax = _axis_weights(fr, Ek, bitk, D)
         wk = w_ax[0]
         for d in range(1, D):
-            wk = wk * w_ax[d]  # [M, G*K]
-        wexp = wk @ X  # channel expansion, [M, G*K*C]
-        outs.append((wexp * rows) @ S)  # [M, G*C] — corner sum on the MXU
+            wk = wk * w_ax[d]  # [M, G*K] f32 (small; weight math stays f32)
+        wexp = wk.astype(ct) @ X.astype(ct)  # channel expansion, [M, G*K*C]
+        # corner sum on the MXU, f32 accumulation
+        outs.append(
+            jax.lax.dot_general(
+                wexp * rows, S.astype(ct), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )  # [M, G*C]
     out = jnp.concatenate(outs, axis=-1)
     out = jnp.where(oob[:, None], 0.0, out)
     out = out.reshape(*prefix, meta.num_levels * C)
@@ -481,6 +512,7 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
     grad_in_comps = [None] * D
     grads = {}
     for gi, g in enumerate(fmeta.groups):
+        ct = _group_compute_dtype(fmeta, gi)
         row, rows = saved[gi]
         G = len(g)
         S, X, Ek, bitk = _selectors(G, K, C, D)
@@ -490,10 +522,11 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
         for d in range(1, D):
             wk = wk * w_ax[d]
 
-        gg = g2[:, g[0] * C : (g[-1] + 1) * C]  # [M, G*C]
-        ggexp = gg @ S.T  # [M, W] — cotangent broadcast over corners (MXU)
+        gg = g2[:, g[0] * C : (g[-1] + 1) * C].astype(ct)  # [M, G*C]
+        ggexp = gg @ S.T.astype(ct)  # [M, W] — cotangent over corners (MXU)
         # params update: upd = w * ggexp, flat for the row scatter
-        upd = (wk @ X) * ggexp
+        # (scatter_add_rows accumulates f32 regardless of update dtype)
+        upd = (wk.astype(ct) @ X.astype(ct)) * ggexp
 
         name = f"group_{gi}"
         if fmeta.modes[gi] == "dense":
@@ -510,8 +543,11 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
         # input grads: dcomp_d[m] = sum_g chain_d[m,g] * sum_{k in g}
         #   sign_d * (prod_{dd != d} w_dd) * (sum_c rows * ggexp)
         # — the c-sum (X^T) drops the only full-width tensor to [M, G*K];
-        # everything after runs at corner granularity
-        rg = (rows * ggexp) @ X.T  # [M, G*K]
+        # everything after runs at corner granularity (f32)
+        rg = jax.lax.dot_general(
+            rows * ggexp, X.T.astype(ct), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [M, G*K]
         for d in range(D):
             partial = None
             for dd in range(D):

@@ -76,6 +76,9 @@ class MarchResult(NamedTuple):
     dts: jax.Array  # [N, S] step size at sample, fp32
     valid: jax.Array  # [N, S] bool sample validity mask
     depth_ts: jax.Array  # [N, S] post-step t used for depth (cu deltas[:,1])
+    #: scalar int32: max lattice steps any ray needs inside the tight
+    #: occupied box (lattice march only; the signal for retuning lattice_K)
+    span: jax.Array | None = None
 
 
 def _exponent(x: jax.Array) -> jax.Array:
@@ -322,22 +325,40 @@ def march_rays_train(
     return MarchResult(ts=ts, dts=dts, valid=valid, depth_ts=dpts)
 
 
-def pack_occ_blocks(occ0: jax.Array) -> jax.Array:
-    """Bit-pack a [H, H, H] bool occupancy grid into 8x8x8-cell blocks.
+def pack_occ_blocks(occ0: jax.Array, block: int = 8) -> jax.Array:
+    """Bit-pack a [H, H, H] bool occupancy grid into ``block``³-cell blocks.
 
-    Returns uint32 [ (H/8)^3, 16 ]: row b holds the 512 occupancy bits of
-    block b (x-major block order), packed with in-block linear index
+    ``block=8`` → uint32 [ (H/8)³, 16 ]: row b holds the 512 occupancy bits
+    of block b (x-major block order), in-block linear index
     ``ix*64 + iy*8 + iz`` — word ``ix*2 + (iy>>2)``, bit ``(iy&3)*8 + iz``.
+    ``block=4`` → uint32 [ (H/4)³, 2 ]: 64 bits per block, index
+    ``ix*16 + iy*4 + iz`` — word ``ix>>1``, bit ``((ix&1)<<4)|(iy<<2)|iz``.
 
     Why: the marcher's only per-iteration memory traffic is occupancy
     lookups. 1-D element gathers from the 2M-cell grid cost ~7 ns each on
-    v5e; ROW gathers from a <=16k-row table cost ~2 ns per row
-    (``tools/bench_rowops.py``), so fetching 512 cells per index turns the
-    march's gather bill into elementwise bit tests.
+    v5e; ROW gathers from a <=287k-row table cost ~2 ns per row
+    (``tools/bench_rowops.py``), so fetching a whole block per index turns
+    the march's gather bill into elementwise bit tests. The 4³ packing has
+    8x fewer word lanes to select over (the gather bill is per-row and
+    identical), so the marcher's elementwise word-select traffic drops 8x.
     """
     H = occ0.shape[0]
-    assert H % 8 == 0, "grid size must be a multiple of 8"
-    B = H // 8
+    assert H % block == 0, "grid size must be a multiple of the block size"
+    B = H // block
+    if block == 4:
+        r = occ0.reshape(B, 4, B, 4, B, 4).astype(jnp.uint32)
+        iy = jax.lax.broadcasted_iota(jnp.uint32, (4, 4), 0)
+        iz = jax.lax.broadcasted_iota(jnp.uint32, (4, 4), 1)
+        # bits for (ix&1, iy, iz) within a word: ((ix&1)<<4) | (iy<<2) | iz
+        w0 = jnp.left_shift(jnp.uint32(1), iy * 4 + iz)  # ix&1 == 0
+        w1 = jnp.left_shift(jnp.uint32(1), 16 + iy * 4 + iz)  # ix&1 == 1
+        # words[bx, ix2, by, bz] with ix2 = ix>>1 in {0,1}
+        r = r.reshape(B, 2, 2, B, 4, B, 4)
+        w = jnp.stack([w0, w1]).reshape(1, 1, 2, 1, 4, 1, 4).astype(jnp.uint32)
+        words = jnp.sum(r * w, axis=(2, 4, 6))  # [B, 2, B, B]
+        words = words.transpose(0, 2, 3, 1)  # [bx, by, bz, ix2]
+        return words.reshape(-1, 2)
+    assert block == 8, "supported block sizes: 4, 8"
     r = occ0.reshape(B, 8, B, 8, B, 8).astype(jnp.uint32)
     # weight in-block (iy&3, iz) bits within a word
     iy = jax.lax.broadcasted_iota(jnp.uint32, (4, 8), 0)
@@ -381,7 +402,8 @@ def _occupied_cell_aabb(occ0: jax.Array, bound: float) -> jax.Array:
 @partial(
     jax.jit,
     static_argnames=(
-        "bound", "dt_gamma", "max_steps", "cascade", "grid_size", "lattice_K"
+        "bound", "dt_gamma", "max_steps", "cascade", "grid_size", "lattice_K",
+        "occ_block",
     ),
 )
 def march_rays_lattice(
@@ -398,6 +420,7 @@ def march_rays_lattice(
     cascade: int = 1,
     grid_size: int = 128,
     lattice_K: int = 32,
+    occ_block: int = 8,
 ) -> MarchResult:
     """Fully-parallel exact march for the uniform-dt regime — no while loop.
 
@@ -444,13 +467,22 @@ def march_rays_lattice(
     k0 = jnp.ceil(jnp.maximum(tn - t0, 0.0) / dt - 1e-5)
     k0 = jnp.where(tn > 1e30, jnp.float32(2 * H), k0)  # miss -> everything masked
     t_start = t0 + k0 * dt
+    # lattice_K retune signal (same construction as lattice_span_cells,
+    # reusing this call's tight box + slab test instead of a second pass)
+    lo = jnp.maximum(tn, nears)
+    hi = jnp.minimum(tf, fars)
+    span_w = jnp.where((tn < 1e30) & (hi > lo), hi - lo, 0.0)
+    span = jnp.ceil(jnp.max(span_w) / dt).astype(jnp.int32) + 1
 
     ks = jnp.arange(K, dtype=jnp.float32)[None, :]  # [1, K]
     ts = t_start[:, None] + ks * dt  # [N, K]
     in_range = ts < jnp.minimum(fars, tf + dt)[:, None]
 
-    blocks = pack_occ_blocks(occ_grid[0])  # [(H/8)^3, 16] uint32
-    B = H // 8
+    blk = occ_block
+    blocks = pack_occ_blocks(occ_grid[0], block=blk)  # [(H/blk)^3, W] uint32
+    W = blocks.shape[1]
+    B = H // blk
+    shift = blk.bit_length() - 1
     cell3 = []
     for oc, dc in zip(o3, d3):
         p = jnp.clip(oc[:, None] + ts * dc[:, None], -bound, bound)
@@ -459,16 +491,20 @@ def march_rays_lattice(
                 jnp.int32
             )
         )
-    bx, by, bz = (c >> 3 for c in cell3)
+    bx, by, bz = (c >> shift for c in cell3)
     row = (bx * B + by) * B + bz  # [N, K]
-    rows = blocks[row.reshape(-1)].reshape(N, K, 16)  # ONE row gather
-    ix, iy, iz = (c & 7 for c in cell3)
-    word_sel = (ix << 1) | (iy >> 2)  # [N, K] in 0..15
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+    rows = blocks[row.reshape(-1)].reshape(N, K, W)  # ONE row gather
+    ix, iy, iz = (c & (blk - 1) for c in cell3)
+    if blk == 8:
+        word_sel = (ix << 1) | (iy >> 2)  # [N, K] in 0..15
+        bit = ((iy & 3) << 3) | iz
+    else:  # blk == 4
+        word_sel = ix >> 1  # in {0, 1}
+        bit = ((ix & 1) << 4) | (iy << 2) | iz
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     word = jnp.sum(
         jnp.where(lane == word_sel[:, :, None], rows, jnp.uint32(0)), axis=-1
     )  # [N, K] uint32
-    bit = ((iy & 3) << 3) | iz
     occ = (jnp.right_shift(word, bit.astype(jnp.uint32)) & jnp.uint32(1)) > 0
 
     raw = occ & in_range
@@ -480,6 +516,7 @@ def march_rays_lattice(
         dts=dts,
         valid=valid,
         depth_ts=jnp.where(valid, ts + dt, 0.0),
+        span=span,
     )
 
 

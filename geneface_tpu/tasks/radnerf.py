@@ -74,6 +74,8 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         grid_backend=cfg.get("grid_backend", "fused"),
         fused_single_table=cfg.get("fused_single_table", False),
         fused_row_lanes=cfg.get("fused_row_lanes", 256),
+        grid_compute_dtype=cfg.get("grid_compute_dtype", "f32"),
+        ambient_single_table=cfg.get("ambient_single_table", False),
     )
     kw.update(extra)
     return cls(**kw)
@@ -289,7 +291,7 @@ class RADNeRFTask(Task):
     # (renderer.py:98-101,302); here the same signal picks one of a few
     # PRE-COMPILED capacities (static shapes), re-checked every
     # ``capacity_check_interval`` steps with a single lagged D2H fetch.
-    SPR_BUCKETS = (2.0, 3.0, 4.0, 6.0, 8.0, 12.0, 16.0)
+    SPR_BUCKETS = (2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 10.0, 12.0, 16.0)
     #: static lattice budgets for the parallel march (ops/raymarch.py
     #: march_rays_lattice); retuned from the measured tight-box span
     LATK_BUCKETS = (16, 24, 32, 48, 64, 96, 128)
@@ -427,8 +429,14 @@ class RADNeRFTask(Task):
             return
         mean = float(losses["mean_samples"])  # sync point (lagged 1 step)
         self._last_losses = mean
+        # headroom over the measured mean: samples beyond the capacity are
+        # dropped from the tail rays of the step (the reference drops
+        # samples the same way when its pre-sized buffer fills,
+        # raymarching.cu:446-457); 1.15 keeps that rare while cutting the
+        # padded field eval ~20% vs the old 1.3
+        headroom = float(cfg.get("capacity_headroom", 1.15))
         want = min(
-            [b for b in self.SPR_BUCKETS if b >= 1.3 * mean] or [16.0]
+            [b for b in self.SPR_BUCKETS if b >= headroom * mean] or [16.0]
         )
         self._spr_bucket = min(want, float(cfg.get("max_steps", 16)))
 

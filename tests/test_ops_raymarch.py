@@ -101,7 +101,7 @@ def test_march_rays_train_vs_oracle():
         bound=bound, dt_gamma=dt_gamma, max_steps=max_steps,
         cascade=1, grid_size=H, march_iters=128,
     )
-    ts, dts, valid, dpts = map(np.asarray, res)
+    ts, dts, valid, dpts = (np.asarray(a) for a in (res.ts, res.dts, res.valid, res.depth_ts))
     nears_np, fars_np = np.asarray(nears), np.asarray(fars)
 
     n_checked = 0

@@ -29,7 +29,14 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
     from geneface_tpu.config import Config
     from geneface_tpu.tasks.radnerf import RADNeRFTask
 
-    single = backend == "fused_single"
+    single = backend.startswith("fused_single")
+    bf16 = backend.endswith("_bf16")
+    mixed = backend.endswith("_mixed")
+    base = backend.replace("_bf16", "").replace("_mixed", "")
+    row_lanes = 128 if "_rl128" in base else 256
+    base = base.replace("_rl128", "")
+    amb_single = "_ambsingle" in base
+    base = base.replace("_ambsingle", "")
     cfg = Config(
         data_dir=data_dir,
         work_dir=os.path.join(data_dir, f"work_{backend}"),
@@ -44,8 +51,11 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
         min_near=0.05, lr=5e-4, scheduler="exponential",
         finetune_lips=False, lambda_weights_entropy=1e-4, lambda_ambient=0.1,
         seed=seed,
-        grid_backend="fused" if single else backend,
+        grid_backend="fused" if single else base,
         fused_single_table=single,
+        fused_row_lanes=row_lanes,
+        ambient_single_table=amb_single,
+        grid_compute_dtype="bf16" if bf16 else ("mixed" if mixed else "f32"),
     )
     task = RADNeRFTask(cfg)
     state = task.build()
@@ -84,7 +94,8 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
-        "--backends", default="fused,fused_single,block,reference"
+        "--backends",
+        default="fused,fused_single,fused_single_bf16,block,reference",
     )
     args = ap.parse_args()
 

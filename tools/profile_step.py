@@ -41,6 +41,7 @@ def main():
         seed=0,
         mean_samples_per_ray=float(os.environ.get("GF_MEAN_SPR", 8)),
         fused_single_table=bool(int(os.environ.get("GF_SINGLE_TABLE", 0))),
+        grid_compute_dtype=os.environ.get("GF_GRID_DTYPE", "f32"),
     )
     task = RADNeRFTask(cfg)
     state = task.build()
@@ -58,7 +59,9 @@ def main():
     Hg = cfg["grid_size"]
     r = (np.arange(Hg) + 0.5) / Hg * 2.0 - 1.0
     gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
-    occ_np = np.sqrt(gx**2 + gy**2 + gz**2) < (0.13 + 4.0 / Hg)
+    occ_np = np.sqrt(gx**2 + gy**2 + gz**2) < (
+        float(os.environ.get("GF_OCC_R", 0.6)) + 4.0 / Hg
+    )
     density = np.where(occ_np, 4.0 * cfg["density_thresh"], 0.0).reshape(1, -1)
     state["occ"] = OccupancyState(
         density_grid=jnp.asarray(density, jnp.float32),

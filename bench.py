@@ -38,7 +38,7 @@ BASELINE_INFER_FPS = 25.0
 #: occupancy ball radius for the trained-grid emulation; 0.6 measures
 #: ~5.2 mean marched samples/ray on the production rect-weighted rays
 OCC_BALL_R = float(os.environ.get("GF_BENCH_OCC_R", 0.6))
-INFER_BUDGET_S = float(os.environ.get("GF_BENCH_INFER_BUDGET", 240))
+INFER_BUDGET_S = float(os.environ.get("GF_BENCH_INFER_BUDGET", 300))
 
 
 def production_cfg(tmp, n_rays=65536):
@@ -261,7 +261,30 @@ def _build(tmp, plant_occ=True):
 
 
 def run_infer_phase(tmp):
-    task, state = _build(tmp)
+    """Light build for the FPS phase: model + dataset + params + planted
+    occupancy only — no optimizer/LPIPS/frustum-marking (the subprocess
+    pays ~2 min of tunnel init already; everything else is trimmed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from geneface_tpu.data.radnerf_dataset import RADNeRFDataset, get_cond_window
+    from geneface_tpu.tasks.radnerf import model_from_cfg
+
+    cfg = production_cfg(tmp)
+    model = model_from_cfg(cfg)
+    ds = RADNeRFDataset("train", tmp, cfg, training=True)
+    cond0 = jnp.asarray(get_cond_window(ds.conds, 0, cfg["smo_win_size"]))
+    params = model.init(
+        jax.random.PRNGKey(0), cond0, jnp.zeros((8, 3)), jnp.zeros((8, 3)),
+        method=model.init_all,
+    )
+
+    class _Shim:
+        pass
+
+    task = _Shim()
+    task.cfg, task.train_ds, task.model = cfg, ds, model
+    state = {"params": params, "occ": trained_grid_occ(cfg)}
     frame_dt = bench_infer_fps(task, state)
     print(
         json.dumps(

@@ -232,7 +232,9 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
                 os.environ.get("GF_INFER_MSPR", 8)
             ),
             ray_capacity=cap,
-            lattice_K=int(os.environ.get("GF_INFER_LATK", 64)),
+            # span 41 at the bench occupancy; 48 is the bucket the task's
+            # own retune logic would pick (1.15 * 41 -> 48)
+            lattice_K=int(os.environ.get("GF_INFER_LATK", 48)),
         )
         return out["rgb_map"]
 

@@ -126,3 +126,46 @@ def test_compacted_render_matches_padded():
     np.testing.assert_allclose(
         np.asarray(g_cmp), np.asarray(g_pad), rtol=1e-5, atol=1e-6
     )
+
+
+# ------------------------------------------------- blocked segmented scan ----
+def test_segmented_cumsum_vs_oracle_and_reference_grad():
+    """The blocked Hillis-Steele segmented scan (the associative_scan
+    replacement — that op compiles catastrophically on the TPU toolchain,
+    docs/perf_notes.md) must match a per-element oracle across block
+    boundaries and arbitrary tails, including gradients."""
+    import jax
+
+    from geneface_tpu.ops.compaction import segmented_cumsum
+
+    rng = np.random.RandomState(0)
+    for M, W in ((1, ()), (511, ()), (512, ()), (513, ()), (1537, (6,))):
+        v = rng.randn(M, *W).astype(np.float32)
+        s = rng.rand(M) < 0.1
+        s[0] = True
+        out = np.zeros_like(v)
+        acc = np.zeros(W, np.float32)
+        for i in range(M):
+            if s[i]:
+                acc = np.zeros(W, np.float32)
+            acc = acc + v[i]
+            out[i] = acc
+        got = np.asarray(segmented_cumsum(jnp.asarray(v), jnp.asarray(s)))
+        np.testing.assert_allclose(got, out, atol=1e-4 * max(1.0, np.abs(out).max()))
+
+    # gradient parity vs the associative_scan formulation
+    v = jnp.asarray(rng.randn(700).astype(np.float32))
+    s = jnp.asarray(rng.rand(700) < 0.2)
+
+    def ref(values, is_start):
+        def op(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, vb + jnp.where(fb, 0.0, va)
+
+        _, out = jax.lax.associative_scan(op, (is_start, values))
+        return out
+
+    g_new = jax.grad(lambda x: jnp.sum(segmented_cumsum(x, s) ** 2))(v)
+    g_ref = jax.grad(lambda x: jnp.sum(ref(x, s) ** 2))(v)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-4)

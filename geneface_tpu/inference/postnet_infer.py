@@ -14,10 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from geneface_tpu.models.audio2motion import VAEModel
-from geneface_tpu.models.postnet import CNNPostNet
+from geneface_tpu.models.audio2motion import PitchContourVAEModel, VAEModel
+from geneface_tpu.models.audio2motion.vae import _downsample2
+from geneface_tpu.models.postnet import CNNPostNet, PitchContourCNNPostNet
 from geneface_tpu.utils import get_last_checkpoint, load_checkpoint
 from geneface_tpu.utils.audio import extract_f0, extract_hubert, load_wav16k
+from geneface_tpu.utils.pitch import f0_to_coarse
 
 __all__ = ["PostnetInfer"]
 
@@ -25,10 +27,20 @@ __all__ = ["PostnetInfer"]
 class PostnetInfer:
     def __init__(self, cfg):
         self.cfg = cfg
-        self.vae = VAEModel(in_out_dim=204)
-        self.postnet = CNNPostNet(
-            in_out_dim=204, norm=cfg.get("postnet_norm", "ln")
-        )
+        # pitch-contour variant dispatch (reference postnet_infer invokes the
+        # pitch task class via ``audio2motion_task_cls`` reflection)
+        self.pitch = "pitch" in cfg.get("audio2motion_task_cls", "").lower()
+        if self.pitch:
+            self.vae = PitchContourVAEModel(in_out_dim=204)
+            self.postnet = PitchContourCNNPostNet(
+                in_out_dim=204, pitch_dim=64,
+                norm=cfg.get("postnet_norm", "ln"),
+            )
+        else:
+            self.vae = VAEModel(in_out_dim=204)
+            self.postnet = CNNPostNet(
+                in_out_dim=204, norm=cfg.get("postnet_norm", "ln")
+            )
 
         vae_ckpt = load_checkpoint(
             get_last_checkpoint(cfg["audio2motion_work_dir"])
@@ -67,12 +79,24 @@ class PostnetInfer:
             "hubert": jnp.asarray(hubert)[None],
             "y_mask": jnp.ones((1, T2 // 2)),
         }
+        if self.pitch:
+            if f0 is None:
+                raise ValueError("pitch postnet inference requires f0")
+            batch["f0"] = jnp.asarray(f0)[None]
         out = self.vae.apply(
             self.vae_params, batch, jax.random.PRNGKey(seed), train=False,
             temperature=temperature,
         )
         raw = out["pred"]  # [1, T, 204]
-        refined = self.postnet.apply(self.pn_params, raw)
+        if self.pitch:
+            f0d = _downsample2(batch["f0"][..., None])[..., 0]
+            pitch = self.vae.apply(
+                self.vae_params, f0_to_coarse(f0d),
+                method=lambda m, c: m.pitch_embed(c),
+            )
+            refined = self.postnet.apply(self.pn_params, raw, pitch)
+        else:
+            refined = self.postnet.apply(self.pn_params, raw)
         lm3d = np.asarray(refined[0]).reshape(-1, 68, 3)
         if out_npy:
             os.makedirs(os.path.dirname(os.path.abspath(out_npy)), exist_ok=True)

@@ -7,6 +7,15 @@ LSGAN adversarial vs the frame-wise MLP discriminator on the target person's
 landmark distribution (λ ``postnet_lambda_adv``), and frozen-SyncNet sync
 (λ ``postnet_lambda_sync``) (``:100-196``). Two optimizers (RMSprop);
 the discriminator trains every ``postnet_disc_interval`` steps.
+
+Pitch variant (``tasks/postnet/lm3d_postnet_adv_sync_pitch.py``): when the
+config's ``audio2motion_task_cls`` names the pitch-contour VAE task, the
+frozen upstream is :class:`PitchContourVAEModel`, the generator is
+:class:`PitchContourCNNPostNet` conditioned on the frozen VAE's own pitch
+embedding of the 2x-downsampled f0 (``:127-128``), and two extra generator
+losses apply: ``reg`` — refined-vs-raw L2 on the LRS3 batch (``:168``,
+λ ``postnet_lambda_reg``) — and ``continuity`` — first-difference + initial
+frame L2 on the person batch (``:219-227``, λ ``postnet_lambda_continuity``).
 """
 
 from __future__ import annotations
@@ -19,8 +28,14 @@ import numpy as np
 import optax
 
 from geneface_tpu.data.lrs3_dataset import LRS3SeqDataset
-from geneface_tpu.models.audio2motion import VAEModel
-from geneface_tpu.models.postnet import CNNPostNet, MLPDiscriminator
+from geneface_tpu.models.audio2motion import PitchContourVAEModel, VAEModel
+from geneface_tpu.models.audio2motion.vae import _downsample2
+from geneface_tpu.models.postnet import (
+    CNNPostNet,
+    MLPDiscriminator,
+    PitchContourCNNPostNet,
+)
+from geneface_tpu.utils.pitch import f0_to_coarse
 from geneface_tpu.models.syncnet import LandmarkHubertSyncNet, sync_loss
 from geneface_tpu.tasks.syncnet import gather_clips, mine_sync_clips
 from geneface_tpu.training.optim import finalize_optimizer
@@ -34,9 +49,20 @@ __all__ = ["PostnetAdvSyncTask"]
 class PostnetAdvSyncTask(Task):
     def build(self):
         cfg = self.cfg
-        self.model = CNNPostNet(
-            in_out_dim=204, norm=self.cfg.get("postnet_norm", "ln")
-        )
+        # pitch variant dispatch (the reference splits this into a separate
+        # task class, lm3d_postnet_adv_sync_pitch.py; here one task serves
+        # both, keyed — like the reference's configs — off the upstream
+        # audio2motion task class name)
+        self.pitch = "pitch" in cfg.get("audio2motion_task_cls", "").lower()
+        if self.pitch:
+            self.model = PitchContourCNNPostNet(
+                in_out_dim=204, pitch_dim=64,
+                norm=cfg.get("postnet_norm", "ln"),
+            )
+        else:
+            self.model = CNNPostNet(
+                in_out_dim=204, norm=self.cfg.get("postnet_norm", "ln")
+            )
         self.disc = MLPDiscriminator(in_dim=204)
 
         lrs3_dir = cfg.get("lrs3_data_dir") or cfg.get(
@@ -60,7 +86,8 @@ class PostnetAdvSyncTask(Task):
 
         # frozen upstream models (loaded by reflection in the reference,
         # lm3d_postnet_adv_sync.py:28-50)
-        self.vae = VAEModel(in_out_dim=204)
+        vae_cls = PitchContourVAEModel if self.pitch else VAEModel
+        self.vae = vae_cls(in_out_dim=204)
         vae_dir = cfg.get("audio2motion_work_dir", "")
         T = 32
         dummy = {
@@ -68,6 +95,8 @@ class PostnetAdvSyncTask(Task):
             "y": jnp.zeros((1, T, 204)),
             "y_mask": jnp.ones((1, T)),
         }
+        if self.pitch:
+            dummy["f0"] = jnp.zeros((1, 2 * T))
         if vae_dir:
             ckpt = load_checkpoint(get_last_checkpoint(vae_dir) or vae_dir)
             self.vae_params = jax.tree_util.tree_map(
@@ -92,7 +121,15 @@ class PostnetAdvSyncTask(Task):
                 jnp.zeros((1, 5, 60)),
             )
 
-        gen_params = self.model.init(jax.random.PRNGKey(3), jnp.zeros((1, 8, 204)))
+        if self.pitch:
+            gen_params = self.model.init(
+                jax.random.PRNGKey(3), jnp.zeros((1, 8, 204)),
+                jnp.zeros((1, 8, 64)),
+            )
+        else:
+            gen_params = self.model.init(
+                jax.random.PRNGKey(3), jnp.zeros((1, 8, 204))
+            )
         disc_params = self.disc.init(jax.random.PRNGKey(4), jnp.zeros((1, 8, 204)))
 
         schedule = build_schedule(cfg)
@@ -117,6 +154,24 @@ class PostnetAdvSyncTask(Task):
         out = self.vae.apply(self.vae_params, batch, rng, train=False)
         return jax.lax.stop_gradient(out["pred"])
 
+    def _pitch_feat(self, batch):
+        """Frozen pitch embedding of the 2x-downsampled f0 — the reference
+        reuses the audio2motion model's own ``downsampler`` + ``pitch_embed``
+        (``lm3d_postnet_adv_sync_pitch.py:40-41,127-128``)."""
+        f0d = _downsample2(batch["f0"][..., None])[..., 0]
+        pitch = self.vae.apply(
+            self.vae_params, f0_to_coarse(f0d),
+            method=lambda m, c: m.pitch_embed(c),
+        )
+        return jax.lax.stop_gradient(pitch)
+
+    def _refine(self, gen_params, raw, batch):
+        if self.pitch:
+            return self.model.apply(
+                gen_params, raw, self._pitch_feat(batch)
+            )
+        return self.model.apply(gen_params, raw)
+
     def _build_jits(self):
         cfg = self.cfg
         gen_tx, disc_tx = self.gen_tx, self.disc_tx
@@ -126,12 +181,28 @@ class PostnetAdvSyncTask(Task):
             raw_lrs3 = self._vae_sample(lrs3, k1)
             raw_person = self._vae_sample(person, k2)
 
-            refine_person = self.model.apply(gen_params, raw_person)
+            refine_person = self._refine(gen_params, raw_person, person)
             refine_person = refine_person * person["y_mask"][..., None]
             denom = jnp.maximum(person["y_mask"].sum(), 1.0) * 204
             mse = jnp.sum((person["y"] - refine_person) ** 2) / denom
 
-            refine_lrs3 = self.model.apply(gen_params, raw_lrs3)
+            # continuity: first-difference + initial-frame L2 vs GT on the
+            # person batch (lm3d_postnet_adv_sync_pitch.py:219-227)
+            d_pred = refine_person[:, 1:] - refine_person[:, :-1]
+            d_gt = person["y"][:, 1:] - person["y"][:, :-1]
+            cont_err = (d_pred - d_gt) * person["y_mask"][:, 1:, None]
+            init_err = refine_person[:, 0, :] - person["y"][:, 0, :]
+            continuity = (
+                jnp.sum(cont_err**2) + jnp.sum(init_err**2)
+            ) / denom
+
+            refine_lrs3 = self._refine(gen_params, raw_lrs3, lrs3)
+
+            # reg: keep the refinement close to the raw VAE sample on the
+            # LRS3 batch (lm3d_postnet_adv_sync_pitch.py:168)
+            reg = jnp.sum(
+                ((refine_lrs3 - raw_lrs3) * lrs3["y_mask"][..., None]) ** 2
+            ) / jnp.maximum(lrs3["y_mask"].sum(), 1.0)
             lm = refine_lrs3.reshape(*refine_lrs3.shape[:2], 68, 3)
             mouth = lm[:, :, 48:68].reshape(*refine_lrs3.shape[:2], 60)
             ii, ms, mi, mel_s = clip_idx
@@ -147,10 +218,15 @@ class PostnetAdvSyncTask(Task):
             )
             total = (
                 cfg.get("postnet_lambda_mse", 0.05) * mse
+                + cfg.get("postnet_lambda_reg", 0.0) * reg
+                + cfg.get("postnet_lambda_continuity", 0.0) * continuity
                 + adv_on * cfg.get("postnet_lambda_adv", 0.85) * adv
                 + adv_on * cfg.get("postnet_lambda_sync", 0.1) * sync
             )
-            losses = {"mse": mse, "adv": adv, "sync": sync, "total_loss": total}
+            losses = {
+                "mse": mse, "adv": adv, "sync": sync, "reg": reg,
+                "continuity": continuity, "total_loss": total,
+            }
             return total, (losses, jax.lax.stop_gradient(refine_lrs3))
 
         @partial(jax.jit, donate_argnums=(0, 2))
@@ -198,11 +274,12 @@ class PostnetAdvSyncTask(Task):
 
     #: sequence-batch axis sharded over the mesh when divisible (GAN task
     #: DP parity; non-divisible token-bucketed batches replicate)
-    data_batch_keys = ("hubert", "y", "y_mask")
+    data_batch_keys = ("hubert", "y", "y_mask", "f0")
 
     def _dev(self, batch):
+        keys = ("hubert", "y", "y_mask") + (("f0",) if self.pitch else ())
         return self.place_batch(
-            {k: v for k, v in batch.items() if k in ("hubert", "y", "y_mask")}
+            {k: v for k, v in batch.items() if k in keys}
         )
 
     def train_step(self, state, batch, rng):
@@ -245,7 +322,7 @@ class PostnetAdvSyncTask(Task):
         # reuse gen loss without updates
         k = rng
         raw = self.vae.apply(self.vae_params, person, k, train=False)["pred"]
-        refined = self.model.apply(state["gen_params"], raw)
+        refined = self._refine(state["gen_params"], raw, person)
         denom = jnp.maximum(person["y_mask"].sum(), 1.0) * 204
         mse = jnp.sum(((person["y"] - refined * person["y_mask"][..., None])) ** 2) / denom
         return {"total_loss": mse, "mse": mse}

@@ -86,6 +86,35 @@ def test_postnet_task(lrs3_dir, tmp_path):
     assert any("tr/disc_fake_loss" in m for m in ms)
 
 
+def test_postnet_pitch_task(lrs3_dir, tmp_path):
+    """Pitch-contour postnet variant + reg/continuity losses
+    (reference tasks/postnet/lm3d_postnet_adv_sync_pitch.py:160-196)."""
+    from geneface_tpu.tasks.postnet import PostnetAdvSyncTask
+
+    wd = str(tmp_path / "postnet_pitch")
+    cfg = _base(
+        wd, None,
+        lrs3_data_dir=lrs3_dir,
+        person_data_dir=lrs3_dir,
+        audio2motion_task_cls="geneface_tpu.tasks.audio2motion.PitchContourVAESyncTask",
+        postnet_disc_start_steps=1,
+        postnet_disc_interval=1,
+        postnet_lambda_mse=0.05,
+        postnet_lambda_adv=0.85,
+        postnet_lambda_sync=0.1,
+        postnet_lambda_reg=0.02,
+        postnet_lambda_continuity=0.10,
+    )
+    task = PostnetAdvSyncTask(cfg)
+    Trainer(task).fit()
+    assert task.pitch  # dispatched the PitchContour models
+    ms = _metrics(wd)
+    tr = [m for m in ms if "tr/reg" in m]
+    assert tr and np.isfinite(tr[-1]["tr/reg"])
+    assert np.isfinite(tr[-1]["tr/continuity"])
+    assert any("tr/disc_fake_loss" in m for m in ms)
+
+
 def test_audio2pose_task(pose_dir, tmp_path):
     from geneface_tpu.tasks.audio2pose import Audio2PoseTask
 

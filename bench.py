@@ -212,8 +212,8 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
     tight = occupied_aabb(occ.occ_grid, float(cfg["bound"]))
     tn, _ = near_far_from_aabb(rays_o, rays_d, tight, cfg["min_near"])
     n_hit = int(jax.device_get((tn < 1e30).sum()))
-    cap = int(-(-int(n_hit * 1.15) // 4096) * 4096)
-    cap = cap if 0 < cap < hw * hw else None
+    from geneface_tpu.inference.radnerf_infer import pick_ray_capacity
+    cap = pick_ray_capacity(n_hit, hw * hw)
 
     @jax.jit
     def render(params, occ, cond, rays_o, rays_d, bg):

@@ -44,7 +44,18 @@ from geneface_tpu.models.radnerf import (
 from geneface_tpu.tasks.radnerf import model_from_cfg
 from geneface_tpu.utils import get_last_checkpoint, load_checkpoint
 
-__all__ = ["RADNeRFInfer", "save_mp4"]
+__all__ = ["RADNeRFInfer", "save_mp4", "pick_ray_capacity"]
+
+
+def pick_ray_capacity(n_hit: int, n_total: int, headroom: float = 1.15,
+                      quantum: int = 4096) -> int | None:
+    """Static ray-cull capacity from a probed hit count: pad ``headroom``,
+    round up to ``quantum`` (the single production recipe — bench and the
+    fidelity tool import this rather than re-deriving it)."""
+    if n_hit <= 0:
+        return None
+    cap = int(-(-int(n_hit * headroom) // quantum) * quantum)
+    return cap if cap < n_total else None
 
 
 def save_mp4(frames: np.ndarray, out_path: str, fps: int = 25,
@@ -142,10 +153,7 @@ class RADNeRFInfer:
             item = ds[i]
             n = max(n, int(hits(jnp.asarray(item["rays_o"]),
                                 jnp.asarray(item["rays_d"]))))
-        if n == 0:
-            return None
-        cap = int(-(-int(n * 1.15) // 4096) * 4096)
-        return cap if cap < N else None
+        return pick_ray_capacity(n, N)
 
     # ------------------------------------------------------------------
     def conds_from_lm3d(self, idexp_lm3d: np.ndarray) -> np.ndarray:

@@ -105,28 +105,117 @@ class AudioAttNet(nn.Module):
         return jnp.sum(w * x, axis=0)  # [C]
 
 
+class _SplitDense(nn.Module):
+    """Bias-free Dense over a LIST of input parts without concatenating.
+
+    ``Dense(concat(parts))`` ≡ ``Σ_i parts_i @ kernel[off_i:off_i+c_i]`` —
+    same parameter (one ``kernel`` of the concatenated width, so checkpoints
+    are interchangeable with ``nn.Dense``), but no ``[M, ΣC]`` concat is ever
+    materialized. On TPU the concat is expensive twice over: the minor axis
+    pads to the 128-lane tile (e.g. 96→128, 148→256 — measured ~9 ms of the
+    RAD-NeRF train step's backward was concat/split cotangent traffic), and
+    the concat + its cotangent split are extra HBM round-trips. Parts with a
+    leading broadcast dim of 1 (per-frame condition / individual codes) stay
+    tiny until the final add — the ``[M, C]`` broadcast is never stored.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts) -> jax.Array:
+        total = sum(p.shape[-1] for p in parts)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (total, self.features),
+            jnp.float32,
+        )
+        k = kernel.astype(self.dtype)
+        off, y = 0, None
+        for p in parts:
+            c = p.shape[-1]
+            contrib = p.astype(self.dtype) @ jax.lax.slice(
+                k, (off, 0), (off + c, self.features)
+            )
+            y = contrib if y is None else y + contrib
+            off += c
+        return y
+
+
 class MLP(nn.Module):
     """Bias-free ReLU MLP; ``num_layers`` linear layers total.
 
     ``dtype`` is the compute dtype (params stay f32 master weights):
     bfloat16 feeds the MXU at full rate; instant-ngp's fused MLPs run half
-    precision the same way."""
+    precision the same way.
+
+    Input may be a single array or a list/tuple of parts (split first-layer
+    matmul, see :class:`_SplitDense`). ``split_out`` optionally returns the
+    last layer as a tuple of slices computed by slicing the KERNEL (not the
+    output), so e.g. the sigma head's ``(1, geo_feat)`` split never stores a
+    lane-padded ``[M, 129]`` tensor. The parameter tree is identical to the
+    plain concat/slice formulation in all cases.
+    """
 
     dim_out: int
     dim_hidden: int
     num_layers: int
     dtype: jnp.dtype = jnp.float32
+    split_out: tuple | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = x.astype(self.dtype)
+    def __call__(self, x):
+        parts = list(x) if isinstance(x, (tuple, list)) else [x]
         for layer in range(self.num_layers):
             is_last = layer == self.num_layers - 1
-            x = nn.Dense(
+            if is_last and self.split_out is not None:
+                assert sum(self.split_out) == self.dim_out
+                # split-out: one kernel param, multiple kernel column
+                # slices — keeps the Dense_<i>/kernel tree
+                total = sum(p.shape[-1] for p in parts)
+                kernel = _KernelHolder(
+                    total, self.dim_out, name=f"Dense_{layer}"
+                )()
+                k = kernel.astype(self.dtype)
+                outs = []
+                coff = 0
+                for width in self.split_out:
+                    off, y = 0, None
+                    kc = jax.lax.slice(k, (0, coff), (total, coff + width))
+                    for p in parts:
+                        c = p.shape[-1]
+                        contrib = p.astype(self.dtype) @ jax.lax.slice(
+                            kc, (off, 0), (off + c, width)
+                        )
+                        y = contrib if y is None else y + contrib
+                        off += c
+                    outs.append(y.astype(jnp.float32))
+                    coff += width
+                return tuple(outs)
+            h = _SplitDense(
                 self.dim_out if is_last else self.dim_hidden,
-                use_bias=False,
                 dtype=self.dtype,
-            )(x)
-            if not is_last:
-                x = nn.relu(x)
-        return x.astype(jnp.float32)
+                name=f"Dense_{layer}",
+            )(parts)
+            if is_last:
+                return h.astype(jnp.float32)
+            parts = [nn.relu(h)]
+        raise AssertionError("num_layers must be >= 1")
+
+
+class _KernelHolder(nn.Module):
+    """Declares the same ``kernel`` param as a bias-free ``nn.Dense`` and
+    returns it raw (for kernel-column-sliced output heads)."""
+
+    total_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.total_in, self.features),
+            jnp.float32,
+        )

@@ -181,6 +181,9 @@ class RADNeRF(nn.Module):
             dim_hidden=self.hidden_dim_sigma,
             num_layers=self.num_layers_sigma,
             dtype=self.dtype,
+            # (sigma, geo_feat) head split by kernel columns: avoids storing
+            # the lane-padded [M, 129] output + its cotangent
+            split_out=(1, self.geo_feat_dim),
         )
         self.color_net = MLP(
             dim_out=3,
@@ -247,11 +250,10 @@ class RADNeRF(nn.Module):
             x01, self.pos_embeddings, self.pos_grid_meta, self.pos_block_meta,
             self.pos_fused_meta, input_grad=self.pos_input_grad,
         )
-        cond_rep = jnp.broadcast_to(
-            cond_feat.reshape(1, -1), (position.shape[0], cond_feat.shape[-1])
-        )
+        # cond_feat enters the split first-layer matmul as a [1, C] part —
+        # its [M, C] broadcast is never materialized (see _SplitDense)
         ambient_logit = self.ambient_net(
-            jnp.concatenate([pos_feat, cond_rep], axis=-1)
+            [pos_feat, cond_feat.reshape(1, -1)]
         ).astype(jnp.float32)
         ambient_pos = jnp.tanh(ambient_logit)  # in [-1, 1]
         amb01 = (ambient_pos + 1.0) / 2.0
@@ -264,8 +266,8 @@ class RADNeRF(nn.Module):
     def density(self, position: jax.Array, cond_feat: jax.Array) -> dict:
         """Density-only query used by occupancy updates (``radnerf.py:107-129``)."""
         pos_feat, ambient_feat, _ = self._ambient_and_pos(position, cond_feat)
-        h = self.sigma_net(jnp.concatenate([pos_feat, ambient_feat], axis=-1))
-        return {"sigma": trunc_exp(h[..., 0]), "geo_feat": h[..., 1:]}
+        sig, geo_feat = self.sigma_net([pos_feat, ambient_feat])
+        return {"sigma": trunc_exp(sig[..., 0]), "geo_feat": geo_feat}
 
     def __call__(
         self,
@@ -277,18 +279,12 @@ class RADNeRF(nn.Module):
         pos_feat, ambient_feat, ambient_pos = self._ambient_and_pos(
             position, cond_feat
         )
-        h = self.sigma_net(jnp.concatenate([pos_feat, ambient_feat], axis=-1))
-        sigma = trunc_exp(h[..., 0])
-        geo_feat = h[..., 1:]
+        sig, geo_feat = self.sigma_net([pos_feat, ambient_feat])
+        sigma = trunc_exp(sig[..., 0])
 
         dir_feat = sh_encode(direction, self.sh_degree)
         parts = [dir_feat, geo_feat]
         if individual_code is not None:
-            parts.append(
-                jnp.broadcast_to(
-                    individual_code.reshape(1, -1),
-                    (position.shape[0], individual_code.shape[-1]),
-                )
-            )
-        color = jax.nn.sigmoid(self.color_net(jnp.concatenate(parts, axis=-1)))
+            parts.append(individual_code.reshape(1, -1))
+        color = jax.nn.sigmoid(self.color_net(parts))
         return sigma, color, ambient_pos

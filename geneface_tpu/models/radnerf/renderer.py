@@ -322,19 +322,21 @@ def render_rays_radnerf(
     # is lattice_K (up to 128), so evaluating the full padded slab (the
     # mean_samples_per_ray=None path) would cost up to 8x the walk's
     # [N, max_steps] slab. Non-compact callers get the while-loop walk.
-    if lattice_K and not (uniform_dt and mean_samples_per_ray):
+    if lattice_K and not uniform_dt:
         # the fast bit-packed lattice march requires single-cascade uniform
         # dt (every shipped face config: bound=1, grid_size>=max_steps) AND
         # the compacted field eval; warn at trace time rather than silently
         # marching up to 8x slower (reference handles cascades natively in
-        # raymarching.cu:353-518 — multi-mip fast marching is future work)
+        # raymarching.cu:353-518 — multi-mip fast marching is future work).
+        # Intentionally-disabled compaction (mean_samples_per_ray: 0) is a
+        # supported config and does NOT warn.
         import logging
 
         logging.getLogger("geneface_tpu").warning(
             "lattice_K=%s requested but falling back to the while-loop walk "
-            "(cascade=%d, uniform_dt=%s, mean_samples_per_ray=%s); bound>1 "
-            "multi-mip configs and non-compacted callers take the slow path",
-            lattice_K, cascade, uniform_dt, mean_samples_per_ray,
+            "(cascade=%d, uniform_dt=%s); bound>1 multi-mip configs take "
+            "the slow path",
+            lattice_K, cascade, uniform_dt,
         )
     if lattice_K and uniform_dt and mean_samples_per_ray:
         march = march_rays_lattice(

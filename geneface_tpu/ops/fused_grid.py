@@ -407,7 +407,7 @@ def _axis_weights(fr, Ek, bitk, D):
     return out
 
 
-def _forward(inputs, params, fmeta, save_rows=False):
+def _forward(inputs, params, fmeta, save_rows=False, need_input_grad=True):
     meta = fmeta.base
     D, C = meta.input_dim, meta.level_dim
     K = 1 << D
@@ -427,14 +427,20 @@ def _forward(inputs, params, fmeta, save_rows=False):
             table = table.astype(ct)
         row = _group_rows(comps, fmeta, gi)
         rows = table[row]  # [M, G*K*C] in compute dtype
-        if save_rows:
-            saved.append((row, rows))
         fr, _ = _group_frac(comps, meta, g)  # D x [M, G]
         w_ax = _axis_weights(fr, Ek, bitk, D)
         wk = w_ax[0]
         for d in range(1, D):
             wk = wk * w_ax[d]  # [M, G*K] f32 (small; weight math stays f32)
         wexp = wk.astype(ct) @ X.astype(ct)  # channel expansion, [M, G*K*C]
+        if save_rows:
+            # residuals: saving wexp (and, for input-grad groups, the
+            # per-axis weights) lets the backward skip the whole fr → w_ax →
+            # wk → @X recompute chain — each of those narrow [M, G(*K)]
+            # tensors lane-pads to 128 and costs an HBM round-trip
+            saved.append(
+                (row, rows, wexp, tuple(w_ax) if need_input_grad else None)
+            )
         # corner sum on the MXU, f32 accumulation
         outs.append(
             jax.lax.dot_general(
@@ -469,7 +475,10 @@ def fused_grid_encode(inputs, params, fmeta, need_input_grad=True):
 
 
 def _fge_fwd(inputs, params, fmeta, need_input_grad):
-    out, saved = _forward(inputs, params, fmeta, save_rows=True)
+    out, saved = _forward(
+        inputs, params, fmeta, save_rows=True,
+        need_input_grad=need_input_grad,
+    )
     return out, (inputs, saved, jax.tree_util.tree_map(
         lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params
     ))
@@ -513,20 +522,16 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
     grads = {}
     for gi, g in enumerate(fmeta.groups):
         ct = _group_compute_dtype(fmeta, gi)
-        row, rows = saved[gi]
+        row, rows, wexp, w_ax = saved[gi]
         G = len(g)
         S, X, Ek, bitk = _selectors(G, K, C, D)
-        fr, chain = _group_frac(comps, meta, g)  # D x [M, G]
-        w_ax = _axis_weights(fr, Ek, bitk, D)  # D x [M, G*K]
-        wk = w_ax[0]
-        for d in range(1, D):
-            wk = wk * w_ax[d]
 
         gg = g2[:, g[0] * C : (g[-1] + 1) * C].astype(ct)  # [M, G*C]
         ggexp = gg @ S.T.astype(ct)  # [M, W] — cotangent over corners (MXU)
         # params update: upd = w * ggexp, flat for the row scatter
-        # (scatter_add_rows accumulates f32 regardless of update dtype)
-        upd = (wk.astype(ct) @ X.astype(ct)) * ggexp
+        # (scatter_add_rows accumulates f32 regardless of update dtype);
+        # wexp comes from the forward residuals — no weight recompute
+        upd = wexp * ggexp
 
         name = f"group_{gi}"
         if fmeta.modes[gi] == "dense":
@@ -543,7 +548,9 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
         # input grads: dcomp_d[m] = sum_g chain_d[m,g] * sum_{k in g}
         #   sign_d * (prod_{dd != d} w_dd) * (sum_c rows * ggexp)
         # — the c-sum (X^T) drops the only full-width tensor to [M, G*K];
-        # everything after runs at corner granularity (f32)
+        # everything after runs at corner granularity (f32). w_ax comes from
+        # the forward residuals; only the chain factor needs recomputing.
+        _, chain = _group_frac(comps, meta, g)  # D x [M, G]
         rg = jax.lax.dot_general(
             rows * ggexp, X.T.astype(ct), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

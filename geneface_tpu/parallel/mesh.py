@@ -83,10 +83,26 @@ def put_sharded(mesh: Mesh, x: Any, sharding: NamedSharding) -> Any:
     full global array (the datasets are per-video numpy stores replicated on
     each host), so each addressable shard is materialized via
     ``make_array_from_callback`` — no cross-host transfer.
+
+    INVARIANT (multi-host): every process must pass the bit-identical global
+    ``x`` — dataset RNG streams are seeded host-independently so replicated
+    numpy stores sample the same batch everywhere. ``GF_CHECK_GLOBAL_BATCH=1``
+    verifies this per call with an all-gathered checksum (debug aid; one tiny
+    collective per leaf).
     """
     x = np.asarray(x) if not hasattr(x, "ndim") else x
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    if os.environ.get("GF_CHECK_GLOBAL_BATCH"):
+        from jax.experimental import multihost_utils
+
+        h = np.float64(np.asarray(x, np.float64).sum()) if np.issubdtype(
+            np.asarray(x).dtype, np.number
+        ) else np.float64(0.0)
+        all_h = multihost_utils.process_allgather(np.asarray([h]))
+        assert np.all(all_h == all_h[0]), (
+            f"global-batch invariant violated: per-host checksums {all_h}"
+        )
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 

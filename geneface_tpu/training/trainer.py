@@ -263,15 +263,29 @@ class Trainer:
         max_updates = int(cfg.get("max_updates", 10000))
         val_interval = int(cfg.get("val_check_interval", 2000))
         log_interval = int(cfg.get("tb_log_interval", 100))
+        # device-trace hook (SURVEY §5 tracing/profiling): profile_steps > 0
+        # captures a jax.profiler trace of steps [profile_start_step,
+        # profile_start_step + profile_steps) to <work_dir>/profile
+        # (viewable in TensorBoard / xprof).
+        prof_steps = int(cfg.get("profile_steps", 0))
+        prof_start = int(cfg.get("profile_start_step", 10))
         meters = MeterBank()
         t_last = time.time()
         train_iter = self.task.train_batches(step)
 
         while step < max_updates:
+            if prof_steps and step == prof_start:
+                jax.profiler.start_trace(os.path.join(self.work_dir, "profile"))
             batch = next(train_iter)
             rng, step_rng = jax.random.split(rng)
             state, metrics = self.task.train_step(state, batch, step_rng)
             step += 1
+            if prof_steps and step == prof_start + prof_steps:
+                jax.block_until_ready(
+                    [v for v in metrics.values() if hasattr(v, "block_until_ready")]
+                )
+                jax.profiler.stop_trace()
+                print(f"| wrote device trace to {self.work_dir}/profile")
             meters.update(metrics)
 
             if step % log_interval == 0:

@@ -28,7 +28,6 @@ import numpy as np
 
 
 def main():
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import production_cfg, run_infer_phase, trained_grid_occ  # noqa: F401
     from bench import bench_infer_fps
     from tools.make_synthetic_dataset import make_dataset
@@ -41,7 +40,8 @@ def main():
     from geneface_tpu.ops import near_far_from_aabb
     from geneface_tpu.utils.camera import get_rays
 
-    tmp = tempfile.mkdtemp(prefix="gf_fid_")
+    tmp_ctx = tempfile.TemporaryDirectory(prefix="gf_fid_")
+    tmp = tmp_ctx.name
     hw = int(os.environ.get("GF_FID_HW", 512))
     make_dataset(tmp, n_frames=4, hw=hw)
     cfg = production_cfg(tmp)
@@ -63,8 +63,8 @@ def main():
     tight = occupied_aabb(occ.occ_grid, float(cfg["bound"]))
     tn, _ = near_far_from_aabb(rays_o, rays_d, tight, cfg["min_near"])
     n_hit = int(jax.device_get((tn < 1e30).sum()))
-    cap = int(-(-int(n_hit * 1.15) // 4096) * 4096)
-    cap = cap if 0 < cap < hw * hw else None
+    from geneface_tpu.inference.radnerf_infer import pick_ray_capacity
+    cap = pick_ray_capacity(n_hit, hw * hw)
     print(f"rays hitting tight box: {n_hit} / {hw*hw}  -> ray capacity {cap}")
 
     def make_render(mspr, latk):

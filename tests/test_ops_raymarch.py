@@ -325,3 +325,37 @@ def test_pack_occ_blocks_roundtrip():
         bit = ((y & 3) << 3) | (z & 7)
         got = (int(blocks[row, word]) >> bit) & 1
         assert got == int(occ[x, y, z])
+
+
+def test_lattice_paired_region_gather_exact():
+    """The stride-2 overlapping-region gather (pack_occ_regions) emits the
+    EXACT sample set of the per-sample aligned-block gather: one lattice
+    step moves < 2 cells per axis, so both samples of a pair lie inside the
+    first sample's core±2 halo region."""
+    import numpy as np
+
+    from geneface_tpu.ops import march_rays_lattice, near_far_from_aabb
+
+    H, N = 32, 512
+    rng = np.random.RandomState(7)
+    occ = jnp.asarray(rng.rand(1, H, H, H) < 0.15)
+    o = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    o = o / jnp.linalg.norm(o, axis=-1, keepdims=True) * 2.5
+    d = -o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+    d = d + jnp.asarray(rng.randn(N, 3).astype(np.float32)) * 0.1
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-1.0, -1.0, -1.0, 1.0, 1.0, 1.0])
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+    noise = jnp.asarray(rng.rand(N).astype(np.float32))
+    kw = dict(bound=1.0, dt_gamma=0.0, max_steps=16, cascade=1, grid_size=H)
+    for K in (2, 37, 48):
+        a = march_rays_lattice(
+            o, d, occ, nears, fars, noise, lattice_K=K, occ_block=8, **kw
+        )  # paired region path
+        b = march_rays_lattice(
+            o, d, occ, nears, fars, noise, lattice_K=K, occ_block=4, **kw
+        )  # per-sample aligned-block path
+        for name in ("ts", "dts", "valid", "depth_ts"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            )

@@ -169,6 +169,77 @@ def test_radnerf_import_shape_mismatch_hint():
         ti.radnerf_params_from_torch(sd, params)
 
 
+def test_radnerf_import_block_backend_field_parity():
+    """Imported reference checkpoints run through the BLOCK fast path: the
+    block backend consumes the same canonical ``[n_entries, C]`` embedding
+    layout the import produces, and on uncapped (all-dense) grid geometry its
+    addressing is exact — the full field (grids + MLPs) must match the
+    ``reference`` backend to float tolerance. Capped levels alias at block
+    granularity instead of per-cell hashing (different collision sets), so
+    migrated checkpoints with capped levels should briefly finetune — see
+    docs/migrate_from_geneface.md.
+    """
+    from geneface_tpu.config import Config
+    from geneface_tpu.tasks.radnerf import model_from_cfg
+
+    base = dict(
+        cond_type="idexp_lm3d_normalized", cond_out_dim=64, cond_win_size=1,
+        smo_win_size=5, with_att=True, bound=1, grid_type="tiledgrid",
+        log2_hashmap_size=16, desired_resolution=32, grid_size=32,
+        grid_num_levels=16, grid_level_dim=2,
+        num_layers_ambient=3, hidden_dim_ambient=128, num_layers_sigma=3,
+        hidden_dim_sigma=128, geo_feat_dim=128, num_layers_color=2,
+        hidden_dim_color=128, individual_embedding_num=10,
+        individual_embedding_dim=4,
+    )
+    ref_model = model_from_cfg(Config(grid_backend="reference", **base))
+    blk_model = model_from_cfg(Config(grid_backend="block", **base))
+    params = ref_model.init(
+        jax.random.PRNGKey(0), jnp.ones((5, 1, 204)), jnp.zeros((8, 3)),
+        jnp.zeros((8, 3)), method=ref_model.init_all,
+    )
+    # all levels must be dense for exactness
+    bm = blk_model.bind(params)
+    assert all(m == "dense" for m in bm.pos_block_meta.modes)
+
+    from modules.radnerfs.cond_encoder import MLP as TorchMLP
+    from modules.radnerfs.cond_encoder import AudioAttNet, AudioNet
+
+    torch.manual_seed(7)
+    p = params["params"]
+    sd = {}
+    sd.update(_sd(AudioNet(204, 64, win_size=1), "cond_prenet"))
+    sd.update(_sd(AudioAttNet(64, seq_len=5), "cond_att_net"))
+    for name, mod in (
+        ("ambient_net", TorchMLP(p["ambient_net"]["Dense_0"]["kernel"].shape[0], 2, 128, 3)),
+        ("sigma_net", TorchMLP(p["sigma_net"]["Dense_0"]["kernel"].shape[0], 129, 128, 3)),
+        ("color_net", TorchMLP(p["color_net"]["Dense_0"]["kernel"].shape[0], 3, 128, 2)),
+    ):
+        sd.update(_sd(mod, name))
+    rng = np.random.RandomState(11)
+    sd["position_embedder.embeddings"] = rng.uniform(
+        -1e-2, 1e-2, p["pos_embeddings"].shape
+    ).astype(np.float32)
+    sd["ambient_embedder.embeddings"] = rng.uniform(
+        -1e-2, 1e-2, p["ambient_embeddings"].shape
+    ).astype(np.float32)
+    sd["individual_embeddings"] = rng.randn(10, 4).astype(np.float32) * 0.1
+    imported = ti.radnerf_params_from_torch(sd, params)
+
+    rs = np.random.RandomState(5)
+    xyz = jnp.asarray(rs.uniform(-0.9, 0.9, (64, 3)).astype(np.float32))
+    dirs = rs.randn(64, 3).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+    cond = jnp.asarray(rs.randn(1, 64).astype(np.float32) * 0.1)
+    ind = jnp.asarray(np.asarray(sd["individual_embeddings"][0]))
+
+    s_ref, c_ref, a_ref = ref_model.apply(imported, xyz, dirs, cond, ind)
+    s_blk, c_blk, a_blk = blk_model.apply(imported, xyz, dirs, cond, ind)
+    np.testing.assert_allclose(np.asarray(s_blk), np.asarray(s_ref), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(c_blk), np.asarray(c_ref), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(a_blk), np.asarray(a_ref), atol=2e-3)
+
+
 def test_radnerf_import_rejects_fused_backend():
     """Torch imports target the canonical grid layout; the fused backend's
     grouped tables must be rejected with a pointer to the right config."""

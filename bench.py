@@ -80,6 +80,9 @@ def production_cfg(tmp, n_rays=65536):
         lambda_weights_entropy=1e-4,
         lambda_ambient=0.1,
         seed=0,
+        # GF_GRID_BACKEND=block benches the checkpoint-import fast path
+        # (canonical per-level layout; see docs/migrate_from_geneface.md)
+        grid_backend=os.environ.get("GF_GRID_BACKEND", "fused"),
     )
 
 

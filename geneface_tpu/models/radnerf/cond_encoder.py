@@ -161,8 +161,9 @@ class MLP(nn.Module):
     matmul, see :class:`_SplitDense`). ``split_out`` optionally returns the
     last layer as a tuple of slices computed by slicing the KERNEL (not the
     output), so e.g. the sigma head's ``(1, geo_feat)`` split never stores a
-    lane-padded ``[M, 129]`` tensor. The parameter tree is identical to the
-    plain concat/slice formulation in all cases.
+    lane-padded ``[M, 129]`` tensor; width-1 slices come back as dense
+    ``[...]`` rank-reduced columns (no ``[M, 1]`` buffer). The parameter
+    tree is identical to the plain concat/slice formulation in all cases.
     """
 
     dim_out: int
@@ -190,11 +191,19 @@ class MLP(nn.Module):
                 for width in self.split_out:
                     off, y = 0, None
                     kc = jax.lax.slice(k, (0, coff), (total, coff + width))
+                    if width == 1:
+                        # rank-1 head: produce a dense [M] column instead of
+                        # a [M, 1] tensor (which the TPU layout pads to 128
+                        # lanes — a 200 MB buffer at M=393k for 1.6 MB of
+                        # data, round-tripped again by its cotangent)
+                        kc = kc.reshape(total)
                     for p in parts:
                         c = p.shape[-1]
                         contrib = jax.lax.dot_general(
                             p.astype(self.dtype),
-                            jax.lax.slice(kc, (off, 0), (off + c, width)),
+                            jax.lax.slice(kc, (off,), (off + c,))
+                            if width == 1
+                            else jax.lax.slice(kc, (off, 0), (off + c, width)),
                             (((p.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )

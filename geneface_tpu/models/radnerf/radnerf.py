@@ -175,6 +175,9 @@ class RADNeRF(nn.Module):
             dim_hidden=self.hidden_dim_ambient,
             num_layers=self.num_layers_ambient,
             dtype=self.dtype,
+            # per-coordinate width-1 heads: dense [M] columns instead of a
+            # lane-padded [M, ambient_out_dim] logit tensor
+            split_out=(1,) * self.ambient_out_dim,
         )
         self.sigma_net = MLP(
             dim_out=1 + self.geo_feat_dim,
@@ -252,22 +255,27 @@ class RADNeRF(nn.Module):
         )
         # cond_feat enters the split first-layer matmul as a [1, C] part —
         # its [M, C] broadcast is never materialized (see _SplitDense)
-        ambient_logit = self.ambient_net(
-            [pos_feat, cond_feat.reshape(1, -1)]
-        ).astype(jnp.float32)
-        ambient_pos = jnp.tanh(ambient_logit)  # in [-1, 1]
-        amb01 = (ambient_pos + 1.0) / 2.0
+        logits = self.ambient_net([pos_feat, cond_feat.reshape(1, -1)])
+        tanhs = [jnp.tanh(l.astype(jnp.float32)) for l in logits]  # [M] each
+        if self.grid_backend == "fused":
+            # feed the encoder dense [M] coordinate columns directly — the
+            # [M, 2] pack (lane-padded to 128 on TPU) never exists on the
+            # training path; ambient_pos is assembled only for the output
+            amb01 = tuple((t + 1.0) / 2.0 for t in tanhs)
+        else:
+            amb01 = (jnp.stack(tanhs, axis=-1) + 1.0) / 2.0
         ambient_feat = self._encode_grid(
             amb01, self.ambient_embeddings, self.ambient_grid_meta,
             self.ambient_block_meta, self.ambient_fused_meta,
         )
+        ambient_pos = jnp.stack(tanhs, axis=-1)  # in [-1, 1]
         return pos_feat, ambient_feat, ambient_pos
 
     def density(self, position: jax.Array, cond_feat: jax.Array) -> dict:
         """Density-only query used by occupancy updates (``radnerf.py:107-129``)."""
         pos_feat, ambient_feat, _ = self._ambient_and_pos(position, cond_feat)
         sig, geo_feat = self.sigma_net([pos_feat, ambient_feat])
-        return {"sigma": trunc_exp(sig[..., 0]), "geo_feat": geo_feat}
+        return {"sigma": trunc_exp(sig), "geo_feat": geo_feat}
 
     def __call__(
         self,
@@ -280,7 +288,7 @@ class RADNeRF(nn.Module):
             position, cond_feat
         )
         sig, geo_feat = self.sigma_net([pos_feat, ambient_feat])
-        sigma = trunc_exp(sig[..., 0])
+        sigma = trunc_exp(sig)  # width-1 head comes back as a dense [M]
 
         dir_feat = sh_encode(direction, self.sh_degree)
         parts = [dir_feat, geo_feat]

@@ -348,9 +348,17 @@ def _dense_view_adjoint(gview: jax.Array, fmeta: FusedGridMeta, gi: int):
 
 def _prep(inputs, fmeta):
     D = fmeta.input_dim
-    prefix = inputs.shape[:-1]
-    x = inputs.reshape(-1, D).astype(jnp.float32)
-    comps_raw = [x[:, d] for d in range(D)]
+    if isinstance(inputs, (tuple, list)):
+        # per-component 1-D columns: callers that already hold the D
+        # coordinates as dense [M] vectors (e.g. the ambient head's width-1
+        # outputs) skip the lane-padded [M, D] pack/unpack round-trip
+        assert len(inputs) == D, (len(inputs), D)
+        prefix = inputs[0].shape
+        comps_raw = [c.reshape(-1).astype(jnp.float32) for c in inputs]
+    else:
+        prefix = inputs.shape[:-1]
+        x = inputs.reshape(-1, D).astype(jnp.float32)
+        comps_raw = [x[:, d] for d in range(D)]
     oob = jnp.zeros_like(comps_raw[0], dtype=bool)
     for c in comps_raw:
         oob = oob | (c < 0.0) | (c > 1.0)
@@ -545,16 +553,25 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
 
         if not need_input_grad:
             continue
-        # input grads: dcomp_d[m] = sum_g chain_d[m,g] * sum_{k in g}
-        #   sign_d * (prod_{dd != d} w_dd) * (sum_c rows * ggexp)
+        # input grads: dcomp_d[m] = sum_{(l,k) in g} chain_d[m,l] * sign_d *
+        #   (prod_{dd != d} w_dd) * (sum_c rows * ggexp)
         # — the c-sum (X^T) drops the only full-width tensor to [M, G*K];
-        # everything after runs at corner granularity (f32). w_ax comes from
-        # the forward residuals; only the chain factor needs recomputing.
-        _, chain = _group_frac(comps, meta, g)  # D x [M, G]
+        # everything after is ONE fused elementwise+rowsum per axis at corner
+        # granularity (f32). For linear interpolation the chain factor is the
+        # per-level scale — a compile-time constant row, so no per-sample
+        # chain tensors or dw matmuls exist at all.
         rg = jax.lax.dot_general(
             rows * ggexp, X.T.astype(ct), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [M, G*K]
+        if meta.interpolation == "linear":
+            scales = _np.repeat(
+                _np.asarray([_level_scale(meta, l) for l in g], _np.float32), K
+            )  # constant [G*K], corner-minor as Ek lays out
+            cds = [scales] * D
+        else:
+            _, chain = _group_frac(comps, meta, g)  # D x [M, G]
+            cds = [chain[d] @ Ek for d in range(D)]  # [M, G*K]
         for d in range(D):
             partial = None
             for dd in range(D):
@@ -562,17 +579,25 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
                     continue
                 partial = w_ax[dd] if partial is None else partial * w_ax[dd]
             sign = 2.0 * bitk[d] - 1.0
-            dw = (sign * partial * rg) @ Ek.T  # [M, G]
-            contrib = jnp.sum(dw * chain[d], axis=-1)  # [M]
+            contrib = jnp.sum(rg * (sign * cds[d]) * partial, axis=-1)  # [M]
             grad_in_comps[d] = (
                 contrib
                 if grad_in_comps[d] is None
                 else grad_in_comps[d] + contrib
             )
 
+    columns = isinstance(inputs, (tuple, list))
     if need_input_grad:
-        grad_in = jnp.stack(grad_in_comps, axis=-1)
-        grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
+        if columns:
+            grad_in = tuple(
+                jnp.where(oob, 0.0, gc).reshape(prefix)
+                for gc in grad_in_comps
+            )
+        else:
+            grad_in = jnp.stack(grad_in_comps, axis=-1)
+            grad_in = jnp.where(oob[:, None], 0.0, grad_in).reshape(*prefix, D)
+    elif columns:
+        grad_in = tuple(jnp.zeros(prefix, jnp.float32) for _ in range(D))
     else:
         grad_in = jnp.zeros(prefix + (D,), jnp.float32)
     # rebuild grads in the primal params' container (dict OR flax FrozenDict)

@@ -392,23 +392,31 @@ def pack_occ_regions(occ0: jax.Array) -> jax.Array:
     H = occ0.shape[0]
     assert H % 4 == 0
     B = H // 4
+    # Region cell j of core c is Q[4c + j] (j in [0,8)). Factor j = 4*hi+lo:
+    # Q[4(c+hi) + lo] = V[c + hi, lo] on the [B+2, 4] period view — so the
+    # whole construction is ONE reshape + two unit-offset slices per axis
+    # (8 slices total; the naive 8-offsets-per-axis form emitted 512 strided
+    # slices and measured 1.6 ms/call + poisoned XLA fusion in bf16 graphs).
     Q = jnp.pad(occ0.astype(jnp.uint32), [(2, 6)] * 3)
-    # 8 offset slices per axis: region cell j of core c = Q[4c + j]
-    ax = jnp.stack([Q[j : j + 4 * B : 4] for j in range(8)])  # [8, B, *, *]
-    axy = jnp.stack(
-        [ax[:, :, j : j + 4 * B : 4] for j in range(8)], axis=1
-    )  # [8ix, 8iy, B, B, *]
-    axyz = jnp.stack(
-        [axy[:, :, :, :, j : j + 4 * B : 4] for j in range(8)], axis=2
-    )  # [8ix, 8iy, 8iz, B, B, B]
-    # word = ix*2 + (iy>>2), bit = (iy&3)*8 + iz  (pack_occ_blocks layout)
-    v = axyz.reshape(8, 2, 4, 8, B, B, B)  # [ix, iy_hi, iy_lo, iz, ...]
+    V = Q.reshape(B + 2, 4, 4 * (B + 2), 4 * (B + 2))
+    parts = []
+    for hx in range(2):
+        for hy in range(2):
+            for hz in range(2):
+                s = V[hx : hx + B].reshape(B, 4, B + 2, 4, 4 * (B + 2))
+                s = s[:, :, hy : hy + B].reshape(B, 4, B, 4, B + 2, 4)
+                s = s[:, :, :, :, hz : hz + B]
+                parts.append(s)  # [B, 4lx, B, 4ly, B, 4lz]
+    A = jnp.stack(parts).reshape(2, 2, 2, B, 4, B, 4, B, 4)
+    # word = ix*2 + (iy>>2) = hx*8 + lx*2 + hy, bit = (iy&3)*8 + iz
+    #      = ly*8 + hz*4 + lz  (pack_occ_blocks layout with ix=4hx+lx etc.)
     shift = (
-        jax.lax.broadcasted_iota(jnp.uint32, (4, 8), 0) * 8
-        + jax.lax.broadcasted_iota(jnp.uint32, (4, 8), 1)
-    ).reshape(1, 1, 4, 8, 1, 1, 1)
-    words = jnp.sum(v << shift, axis=(2, 3))  # [8ix, 2iy_hi, B, B, B]
-    words = words.transpose(2, 3, 4, 0, 1)  # [B, B, B, ix, iy_hi]
+        jax.lax.broadcasted_iota(jnp.uint32, (2, 4, 4), 0) * 4  # hz
+        + jax.lax.broadcasted_iota(jnp.uint32, (2, 4, 4), 1) * 8  # ly
+        + jax.lax.broadcasted_iota(jnp.uint32, (2, 4, 4), 2)  # lz
+    ).reshape(1, 1, 2, 1, 1, 1, 4, 1, 4)
+    words = jnp.sum(A << shift, axis=(2, 6, 8))  # [2hx, 2hy, B, 4lx, B, B]
+    words = words.transpose(2, 4, 5, 0, 3, 1)  # [B, B, B, hx, lx, hy]
     return words.reshape(-1, 16)
 
 
@@ -441,7 +449,7 @@ def _occupied_cell_aabb(occ0: jax.Array, bound: float) -> jax.Array:
     jax.jit,
     static_argnames=(
         "bound", "dt_gamma", "max_steps", "cascade", "grid_size", "lattice_K",
-        "occ_block",
+        "occ_block", "paired",
     ),
 )
 def march_rays_lattice(
@@ -459,6 +467,7 @@ def march_rays_lattice(
     grid_size: int = 128,
     lattice_K: int = 32,
     occ_block: int = 8,
+    paired: bool | None = None,
 ) -> MarchResult:
     """Fully-parallel exact march for the uniform-dt regime — no while loop.
 
@@ -513,8 +522,19 @@ def march_rays_lattice(
     span = jnp.ceil(jnp.max(span_w) / dt).astype(jnp.int32) + 1
 
     # pair stride: gather one overlapping-region row per TWO lattice points
-    # (pack_occ_regions) — exact because one step moves < 2 cells per axis
-    paired = occ_block == 8 and K >= 2
+    # (pack_occ_regions) — exact because one step moves < 2 cells per axis.
+    # MEASURED NEGATIVE on v5e (kept opt-in via GF_MARCH_PAIRED=1): halving
+    # the gather count bought nothing (march 8.24 vs 8.18 ms at N=65k K=43 —
+    # the march is select/elementwise-bound, not gather-bound, and row
+    # gathers at these sizes are already bandwidth-cheap), while the paired
+    # graph interacted pathologically with bf16 grid compute downstream
+    # (full loss fwd 34 ms vs 18 ms). The exactness tests keep both paths
+    # honest should a future toolchain change the trade.
+    import os as _os
+
+    if paired is None:
+        paired = bool(_os.environ.get("GF_MARCH_PAIRED"))
+    paired = paired and occ_block == 8 and K >= 2
     Ke = K + (K % 2) if paired else K
 
     ks = jnp.arange(Ke, dtype=jnp.float32)[None, :]  # [1, Ke]

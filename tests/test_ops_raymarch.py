@@ -350,7 +350,8 @@ def test_lattice_paired_region_gather_exact():
     kw = dict(bound=1.0, dt_gamma=0.0, max_steps=16, cascade=1, grid_size=H)
     for K in (2, 37, 48):
         a = march_rays_lattice(
-            o, d, occ, nears, fars, noise, lattice_K=K, occ_block=8, **kw
+            o, d, occ, nears, fars, noise, lattice_K=K, occ_block=8,
+            paired=True, **kw
         )  # paired region path
         b = march_rays_lattice(
             o, d, occ, nears, fars, noise, lattice_K=K, occ_block=4, **kw

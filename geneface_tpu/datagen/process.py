@@ -214,6 +214,7 @@ def process_video(
     fps: int = 25,
     max_frames: int | None = None,
     wav_path: str | None = None,  # pre-extracted audio; skips task 1
+    fan_npz: str | None = None,  # converted 2DFAN4 weights -> in-repo lm_fn
 ) -> dict:
     """End-to-end orchestration of tasks 1–9 (``data_gen/nerf/process_data.sh``).
 
@@ -264,9 +265,21 @@ def process_video(
 
     splits = [split_head_torso(frames[t], masks[t], bg_img) for t in range(T)]
 
-    if lm_fn is None:
-        raise ValueError("landmark extraction needs an lm_fn (68-point)")
-    lms = np.stack([lm_fn(f) for f in frames])  # [T, 68, 2]
+    if lm_fn is None and fan_npz:
+        # in-repo FAN detector (datagen/face_landmarker.py) seeded by the
+        # parser's head mask — the reference's external face_alignment call
+        # (data_util/process.py:50-65) with converted weights
+        from geneface_tpu.datagen.face_landmarker import FANLandmarker
+
+        fan = FANLandmarker.from_npz(fan_npz)
+        lms = np.stack([fan(frames[t], masks[t]) for t in range(T)])
+    elif lm_fn is None:
+        raise ValueError(
+            "landmark extraction needs an lm_fn (68-point) or fan_npz "
+            "(converted 2DFAN4 weights, tools/convert_fan_torch.py)"
+        )
+    else:
+        lms = np.stack([lm_fn(f) for f in frames])  # [T, 68, 2]
     rects = []
     for t in range(T):
         xs, ys = lms[t, :, 1], lms[t, :, 0]

@@ -231,16 +231,18 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
             bound=float(cfg["bound"]), min_near=float(cfg["min_near"]),
             dt_gamma=float(cfg["dt_gamma"]), max_steps=int(cfg["max_steps"]),
             grid_size=int(cfg["grid_size"]),
-            # per-ray sample budget 6 = 1.15x the measured mean (same recipe
-            # as the training retune); tools/check_infer_fidelity.py: 45.5 dB
-            # vs the untruncated full-slab render — visually lossless
+            # per-ray sample budget: with the prefix-exact compaction the
+            # lattice+compact render matches the full-slab walk EXACTLY at
+            # mspr=8 (120 dB) and holds 49.3 dB at mspr=5
+            # (tools/check_infer_fidelity.py) — above the 45 dB bar
             mean_samples_per_ray=float(
-                os.environ.get("GF_INFER_MSPR", 6)
+                os.environ.get("GF_INFER_MSPR", 5)
             ),
             ray_capacity=cap,
             # span 41 at the bench occupancy; 48 is the bucket the task's
             # own retune logic would pick (1.15 * 41 -> 48)
             lattice_K=int(os.environ.get("GF_INFER_LATK", 48)),
+            march_paired=True,
         )
         return out["rgb_map"]
 

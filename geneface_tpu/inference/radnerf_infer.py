@@ -215,6 +215,7 @@ class RADNeRFInfer:
                 cfg.get("infer_lattice_K", cfg.get("lattice_K", 48))
             )
             or None,
+            march_paired=bool(cfg.get("infer_march_paired", True)),
         )
         if self.torso:
             occ, torso_occ = occ_and_torso

@@ -232,6 +232,7 @@ def render_rays_radnerf(
     mean_samples_per_ray: float | None = None,
     ray_capacity: int | None = None,
     lattice_K: int | None = None,
+    march_paired: bool = False,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -279,17 +280,19 @@ def render_rays_radnerf(
             mean_samples_per_ray=mean_samples_per_ray,
             lattice_K=lattice_K,
         )
-        rgb = jnp.zeros((N, 3), jnp.float32).at[idx].set(
-            inner["rgb_map"], mode="drop"
-        )
-        ws = jnp.zeros((N,), jnp.float32).at[idx].set(
-            inner["weights_sum"], mode="drop"
-        )
-        depth = jnp.zeros((N,), jnp.float32).at[idx].set(
-            inner["depth_map"], mode="drop"
-        )
-        amb = jnp.zeros((N,), jnp.float32).at[idx].set(
-            inner["ambient_sum"], mode="drop"
+        # ONE packed scatter back to the frame (scatter cost is per-row)
+        packed = jnp.concatenate(
+            [
+                inner["rgb_map"],
+                inner["weights_sum"][:, None],
+                inner["depth_map"][:, None],
+                inner["ambient_sum"][:, None],
+            ],
+            axis=-1,
+        )  # [C, 6]
+        full = jnp.zeros((N, 6), jnp.float32).at[idx].set(packed, mode="drop")
+        rgb, ws, depth, amb = (
+            full[:, 0:3], full[:, 3], full[:, 4], full[:, 5]
         )
         image = jnp.clip(rgb + (1.0 - ws)[:, None] * bg_color, 0.0, 1.0)
         return {
@@ -352,6 +355,10 @@ def render_rays_radnerf(
             cascade=1,
             grid_size=grid_size,
             lattice_K=int(lattice_K),
+            # stride-2 region gather: a win at full-frame ray counts
+            # (march 29.5 -> 16.7 ms at 200k rays), neutral at training
+            # sizes; infer drivers opt in (see ops/raymarch.py)
+            paired=march_paired,
         )
         march_span = march.span  # retune signal, computed inside the march
     else:
@@ -384,26 +391,64 @@ def render_rays_radnerf(
         # Ray grads are stopped here (no task consumes them; the reference
         # computes them in march_rays_train_backward:536 but discards them).
         plan = make_compact_plan(march.valid, sample_capacity)
-        # ONE [Mc]-row record gather for everything per-sample: positions and
-        # directions are materialized on the padded slab first (cheap
-        # elementwise) so no per-ray gathers remain — gathers cost per
-        # INDEX, so one wide record beats several narrow ones.
-        ro_b = jax.lax.stop_gradient(rays_o)[:, None, :]
-        rd_b = jax.lax.stop_gradient(rays_d)[:, None, :]
-        xyz_slab = ro_b + march.ts[..., None] * rd_b  # [N, S, 3]
-        rec = jnp.concatenate(
-            [
-                march.dts[..., None],
-                march.depth_ts[..., None],
-                xyz_slab,
-                jnp.broadcast_to(rd_b, xyz_slab.shape),
-            ],
-            axis=-1,
-        )  # [N, S, 8]
-        rec_c = compact_gather(plan, rec)  # [Mc, 8]
-        dt_c, dep_c = rec_c[:, 0], rec_c[:, 1]
-        xyz_c = jnp.clip(rec_c[:, 2:5], -bound, bound)
-        rd = rec_c[:, 5:8]
+        if march.ks is not None:
+            # uniform-dt lattice route: the only per-SAMPLE datum is the
+            # int lattice step. Four ks bytes pack per uint32 (S % 4 == 0
+            # keeps packing within a ray), so the per-sample transport is a
+            # quarter-length 1-D gather; everything else is per-RAY (one
+            # [Mc]-row gather of the packed o/d/t_start record) plus fused
+            # column math. The old path materialized a [N, S, 8] record
+            # whose minor-8 axis lane-pads 16x on TPU — measured 31 ms of
+            # the 512^2 frame against ~6 ms for this formulation.
+            S_ = march.ks.shape[-1]
+            assert S_ % 4 == 0
+            k8 = march.ks.astype(jnp.uint32)
+            kpack = (
+                k8[:, 0::4]
+                | (k8[:, 1::4] << 8)
+                | (k8[:, 2::4] << 16)
+                | (k8[:, 3::4] << 24)
+            ).reshape(-1)  # [N*S/4]
+            word = kpack[plan.src >> 2]  # [Mc] 1-D gather, 4x fewer indices
+            shift = (plan.src & 3).astype(jnp.uint32) << 3
+            k_c = ((word >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
+            ray_rec = jnp.concatenate(
+                [
+                    jax.lax.stop_gradient(rays_o),
+                    jax.lax.stop_gradient(rays_d),
+                    march.t_start[:, None],
+                ],
+                axis=-1,
+            )  # [N, 7]
+            rr = ray_rec[plan.ray]  # [Mc, 7] — ONE per-ray row gather
+            # the uniform dt is a compile-time constant in this regime
+            dt_u = min(2.0 * _sqrt3 / grid_size, 2.0 * _sqrt3 / max_steps)
+            ts_c = rr[:, 6] + k_c * dt_u
+            dt_c = jnp.where(plan.valid, dt_u, 0.0)
+            dep_c = jnp.where(plan.valid, ts_c + dt_u, 0.0)
+            rd = rr[:, 3:6]
+            xyz_c = jnp.clip(
+                rr[:, 0:3] + ts_c[:, None] * rd, -bound, bound
+            )
+        else:
+            # general route (non-uniform dt): ONE [Mc]-row record gather
+            # for everything per-sample, materialized on the padded slab
+            ro_b = jax.lax.stop_gradient(rays_o)[:, None, :]
+            rd_b = jax.lax.stop_gradient(rays_d)[:, None, :]
+            xyz_slab = ro_b + march.ts[..., None] * rd_b  # [N, S, 3]
+            rec = jnp.concatenate(
+                [
+                    march.dts[..., None],
+                    march.depth_ts[..., None],
+                    xyz_slab,
+                    jnp.broadcast_to(rd_b, xyz_slab.shape),
+                ],
+                axis=-1,
+            )  # [N, S, 8]
+            rec_c = compact_gather(plan, rec)  # [Mc, 8]
+            dt_c, dep_c = rec_c[:, 0], rec_c[:, 1]
+            xyz_c = jnp.clip(rec_c[:, 2:5], -bound, bound)
+            rd = rec_c[:, 5:8]
         sigma_c, rgb_c, ambient_pos_c = field_fn(xyz_c, rd)
         sigma_c = sigma_c * density_scale
         amb_c = jnp.sum(jnp.abs(ambient_pos_c), axis=-1)
@@ -572,6 +617,7 @@ def render_rays_radnerf_torso(
     mean_samples_per_ray: float | None = None,
     ray_capacity: int | None = None,
     lattice_K: int | None = None,
+    march_paired: bool = False,
 ) -> dict:
     """Head (frozen, stop-gradient) + torso composite
     (``radnerf_torso.py:86-199``): torso mixes with the background, then the
@@ -595,6 +641,7 @@ def render_rays_radnerf_torso(
         mean_samples_per_ray=mean_samples_per_ray,
         ray_capacity=ray_capacity,
         lattice_K=lattice_K,
+        march_paired=march_paired,
     )
     head = jax.tree_util.tree_map(jax.lax.stop_gradient, head)
 

@@ -75,11 +75,19 @@ def near_far_from_aabb(
 class MarchResult(NamedTuple):
     ts: jax.Array  # [N, S] sample t (position along ray), fp32
     dts: jax.Array  # [N, S] step size at sample, fp32
-    valid: jax.Array  # [N, S] bool sample validity mask
+    valid: jax.Array  # [N, S] bool sample validity mask (PREFIX-dense:
+    #   slot j valid iff j < n_i — both marchers guarantee this, which is
+    #   what ops/compaction.make_compact_plan requires)
     depth_ts: jax.Array  # [N, S] post-step t used for depth (cu deltas[:,1])
     #: scalar int32: max lattice steps any ray needs inside the tight
     #: occupied box (lattice march only; the signal for retuning lattice_K)
     span: jax.Array | None = None
+    #: [N, S] int32 lattice step index of each sample (uniform-dt lattice
+    #: march only): ts = t_start + ks*dt — lets renderers move ONE small
+    #: integer per sample through compaction instead of a float record
+    ks: jax.Array | None = None
+    #: [N] f32 per-ray lattice origin (t_start) for the ks reconstruction
+    t_start: jax.Array | None = None
 
 
 def _exponent(x: jax.Array) -> jax.Array:
@@ -602,14 +610,29 @@ def march_rays_lattice(
         ts, in_range, occ = ts[:, :K], in_range[:, :K], occ[:, :K]
     raw = occ & in_range
     cum = jnp.cumsum(raw.astype(jnp.int32), axis=-1)
-    valid = raw & (cum <= max_steps)
-    dts = jnp.where(valid, dt, 0.0)
+    # rank-select compaction to a PREFIX-dense [N, max_steps] slab: slot j
+    # holds the (j+1)-th occupied lattice point (cum == j+1 matches exactly
+    # one k per row). The compact render path (ops/compaction) requires
+    # prefix density — the raw occupied pattern has leading/interleaved
+    # holes whenever the tight box admits empty cells before the surface —
+    # and the narrower slab (max_steps vs lattice_K) shrinks every
+    # downstream record. Matches the while-loop walk's output slab exactly.
+    S = max_steps
+    n = jnp.minimum(cum[:, -1], S)
+    jsel = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+    hit = raw[:, :, None] & (cum[:, :, None] == jsel + 1)  # [N, K, S]
+    kvals = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    ks = jnp.sum(jnp.where(hit, kvals, 0), axis=1)  # [N, S]
+    valid = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) < n[:, None]
+    ts_sel = t_start[:, None] + ks.astype(jnp.float32) * dt
     return MarchResult(
-        ts=jnp.where(valid, ts, 0.0),
-        dts=dts,
+        ts=jnp.where(valid, ts_sel, 0.0),
+        dts=jnp.where(valid, dt, 0.0),
         valid=valid,
-        depth_ts=jnp.where(valid, ts + dt, 0.0),
+        depth_ts=jnp.where(valid, ts_sel + dt, 0.0),
         span=span,
+        ks=jnp.where(valid, ks, 0),
+        t_start=t_start,
     )
 
 

@@ -84,6 +84,7 @@ def main():
                 mean_samples_per_ray=mspr,
                 ray_capacity=cap,
                 lattice_K=latk,
+                march_paired=True,
             )
             return out["rgb_map"]
 

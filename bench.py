@@ -38,7 +38,7 @@ BASELINE_INFER_FPS = 25.0
 #: occupancy ball radius for the trained-grid emulation; 0.6 measures
 #: ~5.2 mean marched samples/ray on the production rect-weighted rays
 OCC_BALL_R = float(os.environ.get("GF_BENCH_OCC_R", 0.6))
-INFER_BUDGET_S = float(os.environ.get("GF_BENCH_INFER_BUDGET", 300))
+INFER_BUDGET_S = float(os.environ.get("GF_BENCH_INFER_BUDGET", 600))
 
 
 def production_cfg(tmp, n_rays=65536):

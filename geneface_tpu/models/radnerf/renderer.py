@@ -233,6 +233,7 @@ def render_rays_radnerf(
     ray_capacity: int | None = None,
     lattice_K: int | None = None,
     march_paired: bool = False,
+    compact_ks: bool = False,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -391,7 +392,7 @@ def render_rays_radnerf(
         # Ray grads are stopped here (no task consumes them; the reference
         # computes them in march_rays_train_backward:536 but discards them).
         plan = make_compact_plan(march.valid, sample_capacity)
-        if march.ks is not None:
+        if march.ks is not None and compact_ks:
             # uniform-dt lattice route: the only per-SAMPLE datum is the
             # int lattice step. Four ks bytes pack per uint32 (S % 4 == 0
             # keeps packing within a ray), so the per-sample transport is a

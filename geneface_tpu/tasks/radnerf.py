@@ -150,17 +150,29 @@ class RADNeRFTask(Task):
             self.lpips_params = lpips_params_from_npz(weights)
         else:
             # the reference's lip finetune uses RELEASED LPIPS weights
-            # (tasks/radnerfs/radnerf.py:34); a random-init net is a
-            # meaningless perceptual criterion — make the fallback loud so a
-            # real run can't silently burn the 50k-step lip phase on it
+            # (tasks/radnerfs/radnerf.py:34). MEASURED
+            # (tools/lpips_lip_study.py, synthetic scene, 1200 steps, lip
+            # phase from 400): random-init LPIPS HURTS — lip-rect PSNR
+            # 33.76 vs 35.66 with the phase off, full-frame 39.37 vs 41.0.
+            # So an unconfigured run fails fast instead of silently burning
+            # the lip phase training against noise; set
+            # ``allow_random_lpips: true`` to override (tests/ablation).
+            if not cfg.get("allow_random_lpips", False):
+                raise ValueError(
+                    "finetune_lips is enabled but no LPIPS weights are "
+                    "configured (cfg key 'lpips_weights') — a random-init "
+                    "perceptual net measurably degrades the lip region "
+                    "(docs/perf_notes.md). Convert the released torch "
+                    "weights with tools/convert_lpips_torch.py and set "
+                    "lpips_weights, disable finetune_lips, or set "
+                    "allow_random_lpips: true to override."
+                )
             import logging
 
             logging.getLogger("geneface_tpu").warning(
                 "LPIPS weights not configured (cfg key 'lpips_weights'); the "
-                "lip-finetune perceptual loss will use a RANDOM-INIT network. "
-                "Convert the released torch weights with "
-                "tools/convert_lpips_torch.py and set lpips_weights to the "
-                ".npz path before a real training run."
+                "lip-finetune perceptual loss will use a RANDOM-INIT network "
+                "(allow_random_lpips override active)."
             )
             P = int(cfg.get("lip_patch_size", 64))
             dummy = jnp.zeros((1, P, P, 3))

@@ -72,6 +72,7 @@ def test_lip_finetune_phase(synth_dir, tmp_path):
         str(tmp_path / "work"),
         finetune_lips=True,
         finetune_lips_start_iter=1,
+        allow_random_lpips=True,
         lip_patch_size=32,
         lambda_lpips_loss=0.01,
         update_extra_interval=100,
@@ -153,3 +154,21 @@ def test_lpips_golden_vs_torch_oracle(tmp_path):
         ).numpy()
     ours = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(y)))
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_lip_finetune_requires_weights(synth_dir, tmp_path):
+    """Random-init LPIPS measurably degrades the lip region
+    (tools/lpips_lip_study.py: lip-rect PSNR 33.8 vs 35.7 with the phase
+    off) — an unconfigured lip phase must fail fast."""
+    import pytest
+
+    from tests.test_radnerf_training import tiny_cfg
+
+    from geneface_tpu.tasks.radnerf import RADNeRFTask
+
+    cfg = tiny_cfg(
+        synth_dir, str(tmp_path / "w2"),
+        finetune_lips=True, finetune_lips_start_iter=1,
+    )
+    with pytest.raises(ValueError, match="lpips_weights"):
+        RADNeRFTask(cfg).build()

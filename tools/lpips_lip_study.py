@@ -43,6 +43,7 @@ def run_one(lips: bool, data_dir: str, steps: int, lip_start: int, seed: int):
         lambda_weights_entropy=1e-4, lambda_ambient=0.1, seed=seed,
         finetune_lips=lips,
         finetune_lips_start_iter=lip_start,
+        allow_random_lpips=True,
     )
     task = RADNeRFTask(cfg)
     state = task.build()

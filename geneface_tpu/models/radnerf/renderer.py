@@ -34,7 +34,7 @@ from geneface_tpu.ops import (
 from geneface_tpu.ops.compaction import (
     compact_gather,
     make_compact_plan,
-    segment_sums,
+    segment_sums_cm,
     segmented_cumsum,
 )
 
@@ -462,28 +462,33 @@ def render_rays_radnerf(
         alpha = 1.0 - jnp.exp(-sd)
         include = jax.lax.stop_gradient(T_before >= T_thresh) & plan.valid
         w = jnp.where(include, alpha * T_before, 0.0)
-        packed = jnp.concatenate(
+        # channel-MAJOR packing: stacked [Mc] columns stay dense, so the
+        # segmented scan's shift passes move real bytes only (a [Mc, 6]
+        # layout lane-pads 6 -> 128 on TPU and the scan drags 21x the data)
+        cols = jnp.stack(
             [
-                w[:, None],
-                w[:, None] * rgb_c,
-                (w * dep_c)[:, None],
-                jnp.where(include, amb_c, 0.0)[:, None],
+                w,
+                w * rgb_c[:, 0],
+                w * rgb_c[:, 1],
+                w * rgb_c[:, 2],
+                w * dep_c,
+                jnp.where(include, amb_c, 0.0),
             ],
-            axis=-1,
-        )  # [Mc, 6]
-        sums = segment_sums(plan, packed)  # [N, 6]
-        weights_sum = sums[:, 0]
-        image = sums[:, 1:4] + (1.0 - weights_sum)[:, None] * bg_color
+            axis=0,
+        )  # [6, Mc]
+        sums = segment_sums_cm(plan, cols)  # [6, N]
+        weights_sum = sums[0]
+        image = sums[1:4].T + (1.0 - weights_sum)[:, None] * bg_color
         image = jnp.clip(image, 0.0, 1.0)
         span = jnp.maximum(fars - nears, 1e-6)
         depth = jnp.where(
-            nears < 1e30, jnp.clip(sums[:, 4] - nears, 0.0) / span, 0.0
+            nears < 1e30, jnp.clip(sums[4] - nears, 0.0) / span, 0.0
         )
         return {
             "rgb_map": image,
             "depth_map": depth,
             "weights_sum": weights_sum,
-            "ambient_sum": sums[:, 5],
+            "ambient_sum": sums[5],
             "weights": None,
             "n_samples": plan.n,
             "march_span": march_span,

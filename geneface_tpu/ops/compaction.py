@@ -39,7 +39,9 @@ __all__ = [
     "expand_to_slabs",
     "segment_broadcast",
     "segmented_cumsum",
+    "segmented_cumsum_cm",
     "segment_sums",
+    "segment_sums_cm",
 ]
 
 
@@ -211,3 +213,60 @@ def segment_sums(plan: CompactPlan, values: jax.Array) -> jax.Array:
     out = pref[last]
     ok = (plan.n > 0) & (plan.offset < cap)
     return jnp.where(ok.reshape((-1,) + (1,) * (values.ndim - 1)), out, 0.0)
+
+
+def segmented_cumsum_cm(
+    values: jax.Array, is_start: jax.Array, block: int = 512
+) -> jax.Array:
+    """Channel-MAJOR segmented inclusive cumsum: values [W, M] → [W, M].
+
+    Same blocked Hillis-Steele operator as :func:`segmented_cumsum`, but
+    with the channels on the MAJOR axis: a [M, W] layout with small W
+    lane-pads W→128 on TPU, so every shift pass of the scan drags 128/W×
+    the real bytes; [W, M] keeps the scanned axis dense (measured on the
+    512² composite: the [Mc, 6] form's scan passes dominate the composite).
+    """
+    W, M = values.shape
+    B = min(block, max(1, M))
+    Mb = -(-M // B)
+    padM = Mb * B - M
+
+    f = jnp.pad(is_start.astype(bool), [(0, padM)]).reshape(1, Mb, B)
+    v = jnp.pad(values, [(0, 0), (0, padM)]).reshape(W, Mb, B)
+
+    def shift(x, k, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (k, 0)
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, x.shape[axis])
+        return jnp.pad(x, pad)[tuple(sl)]
+
+    k = 1
+    while k < B:
+        fa = shift(f, k, 2)
+        va = shift(v, k, 2)
+        v = v + jnp.where(f, 0.0, va)
+        f = f | fa
+        k *= 2
+    cf = shift(f[:, :, -1], 1, 1)  # [1, Mb]
+    cv = shift(v[:, :, -1], 1, 1)  # [W, Mb]
+    k = 1
+    while k < Mb:
+        fa = shift(cf, k, 1)
+        va = shift(cv, k, 1)
+        cv = cv + jnp.where(cf, 0.0, va)
+        cf = cf | fa
+        k *= 2
+    v = v + jnp.where(f, 0.0, cv[:, :, None])
+    out = v.reshape(W, Mb * B)
+    return out[:, :M] if padM else out
+
+
+def segment_sums_cm(plan: CompactPlan, values_cm: jax.Array) -> jax.Array:
+    """Per-ray sums from channel-major values [W, Mc] → [W, N]."""
+    cap = plan.ray.shape[0]
+    pref = segmented_cumsum_cm(values_cm, plan.is_start)  # [W, Mc]
+    last = jnp.clip(plan.offset + plan.n - 1, 0, cap - 1)
+    out = pref[:, last]  # [W, N]
+    ok = (plan.n > 0) & (plan.offset < cap)
+    return jnp.where(ok[None, :], out, 0.0)

@@ -119,14 +119,58 @@ class RealtimeRenderer:
         self.target_frame_ms = target_frame_ms
         self.dynamic_resolution = dynamic_resolution
         self.downscale = 1.0
+        #: fixes the downscale rung and disables the dynamic ladder (the
+        #: reference GUI's manual downscale override)
+        self.downscale_override: float | None = None
         self.cond_index = 0
         self.ind_index = 0
+        # render knobs (reference radnerf_gui.py:427-471 sliders); None →
+        # the config value. Each distinct setting traces one new executable
+        # (cached), the TPU analog of the reference's need_update re-render.
+        self.dt_gamma: float | None = None
+        self.max_steps: int | None = None
+        self.t_thresh: float | None = None
+        #: solid background override [r, g, b] in [0,1]; None → dataset bg
+        self.bg_color: list | None = None
         self.last_frame_ms = 0.0
+        self._jit_cache: dict = {}
 
     def _resolution(self):
-        H = max(int(self.ds.H * self.downscale) // 8 * 8, 8)
-        W = max(int(self.ds.W * self.downscale) // 8 * 8, 8)
+        scale = self.downscale_override or self.downscale
+        H = max(int(self.ds.H * scale) // 8 * 8, 8)
+        W = max(int(self.ds.W * scale) // 8 * 8, 8)
         return H, W
+
+    def _render_fn(self):
+        """Jitted frame fn honoring the current knob values (one cached
+        trace per distinct (dt_gamma, max_steps, t_thresh) tuple)."""
+        import jax
+
+        key = (self.dt_gamma, self.max_steps, self.t_thresh)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            ov = {}
+            if self.dt_gamma is not None:
+                ov["dt_gamma"] = float(self.dt_gamma)
+            if self.max_steps is not None:
+                ov["max_steps"] = int(self.max_steps)
+            if self.t_thresh is not None:
+                ov["T_thresh"] = float(self.t_thresh)
+            self.infer._render_overrides = ov
+            fn = jax.jit(
+                self.infer._render_frame, static_argnames=("ray_capacity",)
+            )
+            self._jit_cache[key] = fn
+        # _render_frame consults _render_overrides at trace time; keep it
+        # in sync in case a new resolution triggers a retrace of `fn`
+        self.infer._render_overrides = {
+            k: v
+            for k, v in zip(
+                ("dt_gamma", "max_steps", "T_thresh"), key
+            )
+            if v is not None
+        }
+        return fn
 
     def render(self, cam: OrbitCamera, cond_wins_all=None) -> np.ndarray:
         """→ uint8 frame [h, w, 3] at the current dynamic resolution."""
@@ -146,12 +190,18 @@ class RealtimeRenderer:
         )
         di = i % len(ds)
         item = ds[di]
-        bg_key = "bg_img" if infer.torso else "bg_torso_img"
-        bg = np.asarray(item[bg_key]).reshape(ds.H, ds.W, 3)
-        # nearest-resample the background to the render resolution
-        yi = (np.arange(H) * ds.H // H)[:, None]
-        xi = (np.arange(W) * ds.W // W)[None, :]
-        bg = bg[yi, xi].reshape(-1, 3)
+        if self.bg_color is not None:
+            bg = np.broadcast_to(
+                np.asarray(self.bg_color, np.float32).reshape(1, 3),
+                (H * W, 3),
+            ).copy()
+        else:
+            bg_key = "bg_img" if infer.torso else "bg_torso_img"
+            bg = np.asarray(item[bg_key]).reshape(ds.H, ds.W, 3)
+            # nearest-resample the background to the render resolution
+            yi = (np.arange(H) * ds.H // H)[:, None]
+            xi = (np.arange(W) * ds.W // W)[None, :]
+            bg = bg[yi, xi].reshape(-1, 3)
         bg_coords = np.stack(
             [
                 (np.arange(H * W) % W) / max(W - 1, 1) * 2 - 1,
@@ -164,17 +214,17 @@ class RealtimeRenderer:
             (infer.occ, infer.torso_occ) if infer.torso else (infer.occ,)
         )
         t0 = time.time()
-        rgb = infer._render_jit(
+        rgb = self._render_fn()(
             infer.params, occ_pack,
             jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
             jnp.asarray(bg), jnp.asarray(bg_coords), cond,
-            jnp.asarray(item["pose"]), item["idx"],
+            jnp.asarray(item["pose"]), int(self.ind_index),
         )
         frame = np.asarray(rgb).reshape(H, W, 3)
         dt_ms = (time.time() - t0) * 1e3
         self.last_frame_ms = dt_ms
 
-        if self.dynamic_resolution:
+        if self.dynamic_resolution and self.downscale_override is None:
             # pick the ladder rung whose full-res-equivalent time meets the
             # target (radnerf_gui.py:216-221, quantized for jit reuse)
             full_t = dt_ms / (self.downscale**2)
@@ -215,8 +265,45 @@ class NeRFGUI:
                 W, H, frame.ravel(), format=dpg.mvFormat_Float_rgb,
                 tag="_texture",
             )
+        rend = self.renderer
         with dpg.window(tag="_primary"):
             dpg.add_image("_texture")
+            # the reference's control panel (radnerf_gui.py:427-471)
+            dpg.add_slider_int(
+                label="Audio", min_value=0,
+                max_value=max(len(rend.ds.conds) - 1, 0),
+                callback=lambda s, a: setattr(rend, "cond_index", a),
+            )
+            dpg.add_slider_int(
+                label="Individual", min_value=0, max_value=1 << 12,
+                callback=lambda s, a: setattr(rend, "ind_index", a),
+            )
+            dpg.add_slider_int(
+                label="FoV (vertical)", min_value=1, max_value=120,
+                default_value=int(self.cam.fovy),
+                callback=lambda s, a: setattr(self.cam, "fovy", a),
+            )
+            dpg.add_slider_float(
+                label="dt_gamma", min_value=0.0, max_value=0.1,
+                format="%.5f",
+                callback=lambda s, a: setattr(rend, "dt_gamma", a),
+            )
+            dpg.add_slider_int(
+                label="max steps", min_value=1, max_value=64,
+                default_value=16,
+                callback=lambda s, a: setattr(rend, "max_steps", a),
+            )
+            dpg.add_slider_float(
+                label="T_thresh", min_value=1e-5, max_value=1e-1,
+                format="%.5f",
+                callback=lambda s, a: setattr(rend, "t_thresh", a),
+            )
+            dpg.add_color_edit(
+                (255, 255, 255), label="Background Color", no_alpha=True,
+                callback=lambda s, a: setattr(
+                    rend, "bg_color", [float(c) for c in a[:3]]
+                ),
+            )
         with dpg.handler_registry():
             dpg.add_mouse_drag_handler(
                 callback=lambda s, a: (
@@ -239,10 +326,41 @@ class NeRFGUI:
 
 
 _PAGE = """<!doctype html><html><head><title>geneface-tpu viewer</title>
-<style>body{margin:0;background:#111;color:#eee;font:13px monospace}
-#hud{position:fixed;top:8px;left:8px}</style></head>
-<body><img id="v" draggable="false"><div id="hud"></div><script>
+<style>body{margin:0;background:#111;color:#eee;font:13px monospace;
+display:flex}#hud{position:fixed;top:8px;left:8px}
+#panel{padding:10px;min-width:260px}#panel label{display:block;margin:6px 0}
+#panel input{width:120px;vertical-align:middle}</style></head>
+<body><div><img id="v" draggable="false"><div id="hud"></div></div>
+<div id="panel">
+<label>audio <input type=range id=cond_index min=0 max=0 step=1>
+  <span id=cond_index_v></span></label>
+<label>ind code <input type=number id=ind_index min=0 value=0></label>
+<label>FoV <input type=range id=fovy min=1 max=120 step=1>
+  <span id=fovy_v></span></label>
+<label>dt_gamma <input type=number id=dt_gamma step=0.001 placeholder=cfg></label>
+<label>max steps <input type=number id=max_steps min=1 max=64 placeholder=cfg></label>
+<label>T_thresh <input type=number id=t_thresh step=0.0001 placeholder=cfg></label>
+<label>downscale <select id=downscale><option value=0>auto</option>
+  <option value=1>1.0</option><option value=0.75>0.75</option>
+  <option value=0.5>0.5</option><option value=0.25>0.25</option></select></label>
+<label>target ms <input type=number id=target_frame_ms min=1 value=40></label>
+</div><script>
 let playing = true;
+const KEYS = ['cond_index','ind_index','fovy','dt_gamma','max_steps',
+              't_thresh','downscale','target_frame_ms'];
+async function loadState(){
+  const s = await (await fetch('/state')).json();
+  document.getElementById('cond_index').max = s.n_conds - 1;
+  for (const k of KEYS){ const el = document.getElementById(k);
+    if (s[k] !== null && s[k] !== undefined) el.value = s[k]; }
+}
+for (const k of KEYS){
+  document.getElementById(k).onchange = e => {
+    const v = e.target.value;
+    fetch('/state', {method:'POST',
+      body: JSON.stringify({[k]: v === '' ? null : parseFloat(v)})});
+  };
+}
 async function tick(){
   const img = document.getElementById('v');
   const r = await fetch('/frame' + (playing ? '?advance=1' : ''));
@@ -250,6 +368,7 @@ async function tick(){
   img.src = URL.createObjectURL(await r.blob());
   document.getElementById('hud').textContent =
     `frame ${meta.cond_index}  ${meta.w}x${meta.h}  ${meta.ms.toFixed(1)} ms`;
+  document.getElementById('cond_index').value = meta.cond_index;
   setTimeout(tick, 10);
 }
 let drag = null;
@@ -260,7 +379,7 @@ window.onmousemove = e => { if (drag) {
   drag = [e.clientX, e.clientY]; } };
 window.onwheel = e => fetch(`/zoom?d=${e.deltaY>0?-1:1}`);
 window.onkeydown = e => { if (e.key===' ') playing = !playing; };
-tick();
+loadState(); tick();
 </script></body></html>"""
 
 
@@ -342,19 +461,87 @@ class NeRFWebGUI:
                         gui.cam.scale(float(q.get("d", [0])[0]))
                     self._send(200, b"ok", "text/plain")
                 elif u.path == "/state":
-                    body = json.dumps(
-                        {
-                            "radius": gui.cam.radius,
-                            "fovy": gui.cam.fovy,
-                            "downscale": gui.renderer.downscale,
-                            "cond_index": gui.renderer.cond_index,
-                        }
-                    ).encode()
-                    self._send(200, body, "application/json")
+                    self._send(
+                        200, json.dumps(gui.state()).encode(),
+                        "application/json",
+                    )
                 else:
                     self._send(404, b"not found", "text/plain")
 
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path != "/state":
+                    self._send(404, b"not found", "text/plain")
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    self._send(400, b"bad json", "text/plain")
+                    return
+                with gui._lock:
+                    gui.apply_state(payload)
+                self._send(
+                    200, json.dumps(gui.state()).encode(), "application/json"
+                )
+
         return Handler
+
+    # ------------------------------------------------- control surface ----
+    #: every reference GUI slider (radnerf_gui.py:427-471) has a state key:
+    #: audio scrub (cond_index), individual code (ind_index), FoV (fovy),
+    #: dt_gamma, max_steps, T_thresh (t_thresh), manual downscale
+    #: (downscale_override, 0/None → dynamic ladder), bg color, target FPS.
+    def state(self) -> dict:
+        r = self.renderer
+        return {
+            "radius": float(self.cam.radius),
+            "fovy": float(self.cam.fovy),
+            "downscale": float(r.downscale_override or r.downscale),
+            "downscale_override": r.downscale_override,
+            "dynamic_resolution": bool(r.dynamic_resolution),
+            "cond_index": int(r.cond_index),
+            "n_conds": int(len(self.renderer.ds.conds)),
+            "ind_index": int(r.ind_index),
+            "dt_gamma": r.dt_gamma,
+            "max_steps": r.max_steps,
+            "t_thresh": r.t_thresh,
+            "bg_color": r.bg_color,
+            "target_frame_ms": float(r.target_frame_ms),
+            "last_frame_ms": float(r.last_frame_ms),
+        }
+
+    def apply_state(self, payload: dict) -> None:
+        r = self.renderer
+        if "fovy" in payload:
+            self.cam.fovy = float(np.clip(float(payload["fovy"]), 1.0, 120.0))
+        if "radius" in payload:
+            self.cam.radius = max(float(payload["radius"]), 1e-3)
+        if "cond_index" in payload:
+            r.cond_index = int(payload["cond_index"])
+        if "ind_index" in payload:
+            r.ind_index = max(int(payload["ind_index"]), 0)
+        if "dt_gamma" in payload:
+            v = payload["dt_gamma"]
+            r.dt_gamma = None if v in (None, "") else float(v)
+        if "max_steps" in payload:
+            v = payload["max_steps"]
+            r.max_steps = None if v in (None, "") else max(int(v), 1)
+        if "t_thresh" in payload:
+            v = payload["t_thresh"]
+            r.t_thresh = None if v in (None, "") else float(v)
+        if "bg_color" in payload:
+            v = payload["bg_color"]
+            r.bg_color = None if v in (None, "") else [
+                float(np.clip(c, 0.0, 1.0)) for c in v
+            ][:3]
+        if "downscale" in payload:
+            v = float(payload["downscale"] or 0)
+            r.downscale_override = None if v <= 0 else min(
+                _DOWNSCALE_LADDER, key=lambda x: abs(x - v)
+            )
+        if "target_frame_ms" in payload:
+            r.target_frame_ms = max(float(payload["target_frame_ms"]), 1.0)
 
     def serve(self, blocking: bool = True):
         from http.server import ThreadingHTTPServer

@@ -48,7 +48,11 @@ class PostnetInfer:
         self.vae_params = jax.tree_util.tree_map(
             jnp.asarray, vae_ckpt["state"]["params"]
         )
-        pn_ckpt = load_checkpoint(get_last_checkpoint(cfg["postnet_work_dir"]))
+        # the postnet experiment IS the config's own work_dir when driven via
+        # the CLI (`tasks.run --config <postnet yaml> --infer`); an explicit
+        # postnet_work_dir overrides (reference inp['postnet_ckpt_steps'] dir)
+        pn_dir = cfg.get("postnet_work_dir") or cfg["work_dir"]
+        pn_ckpt = load_checkpoint(get_last_checkpoint(pn_dir))
         self.pn_params = jax.tree_util.tree_map(
             jnp.asarray, pn_ckpt["state"]["gen_params"]
         )

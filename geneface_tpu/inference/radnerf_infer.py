@@ -126,6 +126,7 @@ class RADNeRFInfer:
             self._render_frame, static_argnames=("ray_capacity",)
         )
         self._ray_capacity = None  # picked lazily per video (see render_video)
+        self._cull_kdop = None  # set alongside the capacity pick
 
     def _pick_ray_capacity(self, n_probe: int = 4) -> int | None:
         """Static ray-cull capacity for this video: probe hit counts of the
@@ -134,18 +135,18 @@ class RADNeRFInfer:
         counters, ``renderer.py:328-351``)."""
         if not self.cfg.get("infer_ray_cull", True):
             return None
-        from geneface_tpu.models.radnerf.renderer import occupied_aabb
-        from geneface_tpu.ops import near_far_from_aabb
+        from geneface_tpu.models.radnerf.renderer import kdop_hit, occupied_kdop
 
         ds = self.dataset
         bound = float(self.cfg.get("bound", 1))
         min_near = float(self.cfg.get("min_near", 0.05))
-        tight = occupied_aabb(self.occ.occ_grid, bound)
+        # 13-slab k-DOP of the occupied cells: tighter than the AABB slab
+        # test (round-5 cull); computed once per video, reused per frame
+        self._cull_kdop = occupied_kdop(self.occ.occ_grid, bound)
 
         @jax.jit
         def hits(ro, rd):
-            tn, _ = near_far_from_aabb(ro, rd, tight, min_near)
-            return jnp.sum(tn < 1e30)
+            return jnp.sum(kdop_hit(ro, rd, self._cull_kdop, min_near))
 
         n = 0
         N = ds.H * ds.W
@@ -183,12 +184,21 @@ class RADNeRFInfer:
         )
 
     def _render_frame(self, params, occ_and_torso, rays_o, rays_d, bg, bg_coords,
-                      cond_wins, pose6, ind_idx, ray_capacity=None):
+                      cond_wins, pose6, ind_idx, ray_capacity=None,
+                      cull_kdop=None):
         cfg = self.cfg
         model = self.model
+        # GUI-adjustable render knobs (reference radnerf_gui.py:427-465
+        # sliders): consulted at TRACE time — the GUI swaps this dict and
+        # re-jits per distinct setting (one cached executable per value)
+        ov = getattr(self, "_render_overrides", None) or {}
         cond_feat = model.apply(params, cond_wins, method=model.cal_cond_feat)
         ind_codes = params["params"].get("individual_embeddings")
-        ind = ind_codes[0] if ind_codes is not None else None  # fixed for test
+        ind = (
+            ind_codes[jnp.asarray(ind_idx, jnp.int32) % ind_codes.shape[0]]
+            if ind_codes is not None
+            else None
+        )
 
         def field_fn(xyz, dirs):
             return model.apply(params, xyz, dirs, cond_feat, ind)
@@ -205,8 +215,9 @@ class RADNeRFInfer:
         kwargs = dict(
             bound=float(cfg.get("bound", 1)),
             min_near=float(cfg.get("min_near", 0.05)),
-            dt_gamma=float(cfg.get("dt_gamma", 1.0 / 256)),
-            max_steps=int(cfg.get("max_steps", 16)),
+            dt_gamma=float(ov.get("dt_gamma", cfg.get("dt_gamma", 1.0 / 256))),
+            max_steps=int(ov.get("max_steps", cfg.get("max_steps", 16))),
+            T_thresh=float(ov.get("T_thresh", cfg.get("infer_T_thresh", 1e-4))),
             grid_size=int(cfg.get("grid_size", 128)),
             mean_samples_per_ray=mspr or None,
             ray_capacity=ray_capacity,
@@ -216,6 +227,7 @@ class RADNeRFInfer:
             )
             or None,
             march_paired=bool(cfg.get("infer_march_paired", True)),
+            cull_kdop=cull_kdop,
         )
         if self.torso:
             occ, torso_occ = occ_and_torso
@@ -262,7 +274,7 @@ class RADNeRFInfer:
                 ro1, rd1, b1, bc1, cw1, p61 = args
                 return self._render_frame(
                     params, occ_pack, ro1, rd1, b1, bc1, cw1, p61, 0,
-                    ray_capacity=ray_capacity,
+                    ray_capacity=ray_capacity, cull_kdop=self._cull_kdop,
                 )
 
             return jax.lax.map(one, (ro, rd, b, bc, cw, p6))
@@ -340,6 +352,7 @@ class RADNeRFInfer:
                     self.params, occ_pack,
                     *[jnp.asarray(v) for v in inp], 0,
                     ray_capacity=self._ray_capacity,
+                    cull_kdop=self._cull_kdop,
                 )
                 frame = np.asarray(rgb).reshape(H, W, 3)
                 frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))

@@ -36,6 +36,7 @@ from geneface_tpu.ops.compaction import (
     make_compact_plan,
     segment_sums_cm,
     segmented_cumsum,
+    waterfill_valid,
 )
 
 __all__ = [
@@ -49,6 +50,8 @@ __all__ = [
     "render_rays_radnerf",
     "render_rays_radnerf_torso",
     "make_aabb",
+    "occupied_kdop",
+    "kdop_hit",
 ]
 
 
@@ -212,6 +215,82 @@ def occupied_aabb(occ_grid: jax.Array, bound: float) -> jax.Array:
     return jnp.concatenate([los, his])
 
 
+#: k-DOP direction set for inference ray culling: 3 axes + 6 face
+#: diagonals + 4 body diagonals (unnormalized; slab math is scale-free).
+_KDOP_DIRS = np.asarray(
+    [
+        [1, 0, 0], [0, 1, 0], [0, 0, 1],
+        [1, 1, 0], [1, -1, 0], [1, 0, 1], [1, 0, -1], [0, 1, 1], [0, 1, -1],
+        [1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
+    ],
+    np.float32,
+)
+
+
+def occupied_kdop(occ_grid: jax.Array, bound: float) -> tuple[jax.Array, jax.Array]:
+    """13-slab k-DOP bounds of the occupied fine cells → (lo [13], hi [13]).
+
+    Tighter inference ray culling than :func:`occupied_aabb` (VERDICT r4 #1:
+    a face blob's screen silhouette is round; the AABB slab test alone keeps
+    ~21% pure-background rays in the capacity budget; the diagonal slabs cut
+    that to a few percent). Conservative by construction: bounds are over
+    cell centers plus the cell's half-extent projected onto each direction,
+    so every occupied cell lies fully inside every slab — culled rays are
+    exactly rays the marcher would find empty. Compute once per occupancy
+    update (it only depends on the grid), not per frame.
+    """
+    g = occ_grid[0]
+    H = g.shape[0]
+    mip_bound = min(1.0, bound)
+    centers = jnp.asarray(_cell_centers(H), jnp.float32) * mip_bound
+    dirs = jnp.asarray(_KDOP_DIRS)
+    proj = centers @ dirs.T  # [H^3, 13]
+    occ = g.reshape(-1, 1)
+    big = jnp.float32(1e30)
+    lo = jnp.min(jnp.where(occ, proj, big), axis=0)
+    hi = jnp.max(jnp.where(occ, proj, -big), axis=0)
+    # half-extent of one cell projected on each direction (+1-cell margin,
+    # matching occupied_aabb's margin)
+    half = (2.0 * mip_bound / H) * jnp.sum(jnp.abs(dirs), axis=-1)
+    lo, hi = lo - half, hi + half
+    # empty grid -> full training AABB, expressed as k-DOP of the cube
+    full = make_aabb(bound)
+    corners = jnp.stack(
+        [
+            jnp.stack([full[3 * (i % 2)], full[1 + 3 * ((i >> 1) % 2)],
+                       full[2 + 3 * ((i >> 2) % 2)]])
+            for i in range(8)
+        ]
+    )  # [8, 3] box corners
+    cproj = corners @ dirs.T
+    empty = ~jnp.any(g)
+    lo = jnp.where(empty, jnp.min(cproj, axis=0), lo)
+    hi = jnp.where(empty, jnp.max(cproj, axis=0), hi)
+    return lo, hi
+
+
+def kdop_hit(
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    kdop: tuple[jax.Array, jax.Array],
+    min_near: float,
+    far_cap: jax.Array | float = jnp.inf,
+) -> jax.Array:
+    """[N] bool: ray segment [min_near, far_cap] intersects the k-DOP."""
+    lo, hi = kdop
+    dirs = jnp.asarray(_KDOP_DIRS)
+    od = rays_o.astype(jnp.float32) @ dirs.T  # [N, 13]
+    dd = rays_d.astype(jnp.float32) @ dirs.T
+    dd = jnp.where(jnp.abs(dd) < 1e-12, 1e-12, dd)
+    t0 = (lo[None, :] - od) / dd
+    t1 = (hi[None, :] - od) / dd
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (jnp.maximum(near, min_near) <= jnp.minimum(far, far_cap)) & (
+        far >= min_near
+    )
+
+
 def render_rays_radnerf(
     field_fn: Callable,  # (xyz [M,3], dirs [M,3]) -> (sigma, rgb, ambient_pos)
     rays_o: jax.Array,  # [N, 3]
@@ -234,6 +313,7 @@ def render_rays_radnerf(
     lattice_K: int | None = None,
     march_paired: bool = False,
     compact_ks: bool = False,
+    cull_kdop: tuple[jax.Array, jax.Array] | None = None,
 ) -> dict:
     """March + field eval + composite + background compose
     (``renderer.py:263-367``). One code path serves training and inference
@@ -257,9 +337,14 @@ def render_rays_radnerf(
         # frame has more candidate rays than capacity the overflow renders
         # as background (choose capacity from the face's screen coverage).
         C = min(int(ray_capacity), N)
-        tight = occupied_aabb(occ.occ_grid, bound)
-        tn, _tf = near_far_from_aabb(rays_o, rays_d, tight, min_near)
-        hit = tn < 1e30
+        if cull_kdop is not None:
+            # precomputed 13-slab bounds: tighter than the AABB and free of
+            # the per-frame occupied_aabb grid reduction
+            hit = kdop_hit(rays_o, rays_d, cull_kdop, min_near)
+        else:
+            tight = occupied_aabb(occ.occ_grid, bound)
+            tn, _tf = near_far_from_aabb(rays_o, rays_d, tight, min_near)
+            hit = tn < 1e30
         # fill_value=N -> padded entries drop out of the scatter below
         (idx,) = jnp.nonzero(hit, size=C, fill_value=N)
         inner = render_rays_radnerf(
@@ -391,7 +476,14 @@ def render_rays_radnerf(
         # scatter-free, exact per segment (ops/compaction.py).
         # Ray grads are stopped here (no task consumes them; the reference
         # computes them in march_rays_train_backward:536 but discards them).
-        plan = make_compact_plan(march.valid, sample_capacity)
+        # Waterfilling (round 5): under budget pressure drop the DEEPEST
+        # samples uniformly across rays instead of whole late rays — a
+        # capacity overflow otherwise rendered bottom-of-frame rows as
+        # background (measured: the dominant fidelity loss of the old
+        # truncation; see docs/perf_notes.md). No-op when capacity >= total.
+        plan = make_compact_plan(
+            waterfill_valid(march.valid, sample_capacity), sample_capacity
+        )
         if march.ks is not None and compact_ks:
             # uniform-dt lattice route: the only per-SAMPLE datum is the
             # int lattice step. Four ks bytes pack per uint32 (S % 4 == 0
@@ -624,6 +716,7 @@ def render_rays_radnerf_torso(
     ray_capacity: int | None = None,
     lattice_K: int | None = None,
     march_paired: bool = False,
+    cull_kdop: tuple[jax.Array, jax.Array] | None = None,
 ) -> dict:
     """Head (frozen, stop-gradient) + torso composite
     (``radnerf_torso.py:86-199``): torso mixes with the background, then the
@@ -648,6 +741,7 @@ def render_rays_radnerf_torso(
         ray_capacity=ray_capacity,
         lattice_K=lattice_K,
         march_paired=march_paired,
+        cull_kdop=cull_kdop,
     )
     head = jax.tree_util.tree_map(jax.lax.stop_gradient, head)
 

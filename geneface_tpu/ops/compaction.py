@@ -35,6 +35,7 @@ import jax.numpy as jnp
 __all__ = [
     "CompactPlan",
     "make_compact_plan",
+    "waterfill_valid",
     "compact_gather",
     "expand_to_slabs",
     "segment_broadcast",
@@ -53,6 +54,43 @@ class CompactPlan(NamedTuple):
     offset: jax.Array  # [N] int32 exclusive-cumsum segment starts
     n: jax.Array  # [N] int32 samples per ray
     is_start: jax.Array  # [Mc] bool: slot is the first of its segment
+
+
+def waterfill_valid(valid: jax.Array, capacity: int) -> jax.Array:
+    """Fit a ``[N, S]`` prefix-dense validity mask into ``capacity`` slots by
+    dropping the DEEPEST samples first, uniformly across rays.
+
+    Why (round 5): :func:`make_compact_plan` packs samples ray-major, so a
+    global-capacity overflow silently drops ALL samples of the last rays —
+    whole bottom-of-frame rows render as background under budget pressure.
+    Waterfilling instead finds the largest per-ray level ``q*`` with
+    ``sum_i min(n_i, q*) <= capacity`` and grants every ray up to ``q*``
+    samples (+ one partial level to the first remaining rays), so truncation
+    removes the late-along-ray samples whose transmittance contribution is
+    smallest. Exact when nothing overflows: ``capacity >= total`` returns
+    ``valid`` unchanged. Output stays prefix-dense (a per-ray prefix cut).
+
+    Cost: two [N, S]-mask reductions + elementwise — negligible next to the
+    march. The reference's analog is its pre-sized sample buffer truncation
+    (``raymarching.cu:446-457``), which is also per-ray-prefix.
+    """
+    N, S = valid.shape
+    # sum_min(q) = sum_i min(n_i, q) = cumsum over slot levels of the
+    # per-level ray counts (valid is prefix-dense, so level s is occupied
+    # by exactly the rays with n_i > s)
+    level_counts = jnp.sum(valid, axis=0, dtype=jnp.int32)  # [S]
+    summin = jnp.cumsum(level_counts)  # [S], summin[q-1] = sum_min(q)
+    qstar = jnp.sum(summin <= capacity).astype(jnp.int32)  # in [0, S]
+    base = jnp.where(qstar > 0, summin[jnp.maximum(qstar - 1, 0)], 0)
+    rem = jnp.maximum(capacity - base, 0)
+    # partial level: first `rem` rays that have a sample at slot qstar
+    has_extra = jnp.take(
+        valid, jnp.minimum(qstar, S - 1), axis=1
+    ) & (qstar < S)
+    extra = has_extra & (jnp.cumsum(has_extra.astype(jnp.int32)) <= rem)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    keep = (slot < qstar[None]) | ((slot == qstar[None]) & extra[:, None])
+    return valid & keep
 
 
 def make_compact_plan(valid: jax.Array, capacity: int) -> CompactPlan:

@@ -346,12 +346,29 @@ class PostnetAdvSyncTask(Task):
     def run_inference(cls, cfg):
         """``--infer`` entry, stage A of the two-stage pipeline
         (reference ``inference/postnet/postnet_infer.example_run``):
-        wav -> HuBERT/f0 -> VAE prior sample -> postnet -> lm3d .npy."""
+        wav -> HuBERT/f0 -> VAE prior sample -> postnet -> lm3d .npy.
+
+        Pre-extracted-feature path: ``infer_hubert_npy`` (and, for the pitch
+        variant, ``infer_f0_npy``) skip the on-the-fly HuBERT forward — the
+        reference caches the same features as .npy during preprocessing
+        (``data_gen/nerf/extract_hubert_mel_f0.py``), and this image gates
+        the live HuBERT on a locally-converted checkpoint."""
         from geneface_tpu.inference.postnet_infer import PostnetInfer
 
         infer = PostnetInfer(cfg)
+        hubert = f0 = None
+        hubert_npy = cfg.get("infer_hubert_npy", "")
+        if hubert_npy:
+            hubert = np.load(hubert_npy)
+            T = (min(len(hubert), 10**9) // 16) * 16
+            hubert = hubert[:T]
+            f0_npy = cfg.get("infer_f0_npy", "")
+            if f0_npy:
+                f0 = np.load(f0_npy)[:T]
         return infer.infer(
             wav_path=cfg.get("infer_audio_source_name"),
+            hubert=hubert,
+            f0=f0,
             out_npy=cfg.get("infer_out_npy_name", "infer_out/pred_lm3d.npy"),
             temperature=cfg.get("infer_temperature", 1.0),
             seed=cfg.get("seed", 0),

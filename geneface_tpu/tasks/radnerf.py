@@ -386,6 +386,19 @@ class RADNeRFTask(Task):
         return self.place_batch(out)
 
     def _maybe_update_occ(self, state, rng):
+        """Periodic density-grid refresh, frozen during the lip phase.
+
+        The freeze MATCHES the reference exactly: its gate is
+        ``start_finetune_lips = finetune_lips and global_step >
+        finetune_lips_start_iter`` — a pure step threshold, not the
+        per-step lip/normal alternation — with the comment "when finetuning
+        lips, we don't update the density grid and bitfield"
+        (``tasks/radnerfs/radnerf.py:188-192``). So after the lip phase
+        starts the grid is stale by design in BOTH frameworks; the surface
+        the grid marks moved for 200k steps already and the lip phase only
+        sharpens texture (see tests/test_radnerf_training.py::
+        test_occ_update_freeze_matches_reference_gate).
+        """
         cfg = self.cfg
         interval = cfg.get("update_extra_interval", 16)
         in_lip_phase = (

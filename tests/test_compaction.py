@@ -169,3 +169,44 @@ def test_segmented_cumsum_vs_oracle_and_reference_grad():
     g_new = jax.grad(lambda x: jnp.sum(segmented_cumsum(x, s) ** 2))(v)
     g_ref = jax.grad(lambda x: jnp.sum(ref(x, s) ** 2))(v)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), atol=1e-4)
+
+
+def test_waterfill_valid_budget_allocation():
+    """waterfill_valid (round 5): truncation under budget pressure removes
+    the deepest samples uniformly across rays (never whole late rays), stays
+    prefix-dense, respects the capacity, and is a no-op with headroom."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geneface_tpu.ops.compaction import waterfill_valid
+
+    rng = np.random.RandomState(0)
+    N, S = 64, 16
+    n = rng.randint(0, S + 1, N)
+    slot = np.arange(S)[None]
+    valid = jnp.asarray(slot < n[:, None])
+    total = int(n.sum())
+
+    # headroom -> identical
+    out = np.asarray(waterfill_valid(valid, total + 32))
+    np.testing.assert_array_equal(out, np.asarray(valid))
+
+    for capacity in (total // 4, total // 2, total - 1):
+        out = np.asarray(waterfill_valid(valid, capacity))
+        kept = out.sum(-1)
+        # capacity respected, subset of valid, prefix-dense
+        assert out.sum() <= capacity
+        assert np.all(out <= np.asarray(valid))
+        assert np.all(out.cumsum(-1)[:, -1] == kept)  # mask is a prefix
+        for i in range(N):
+            assert np.all(out[i, : kept[i]]), "per-ray prefix broken"
+        # uniform: every ray keeps at least min(n_i, q*) with q* the common
+        # level -> no ray with samples is starved below the min kept level
+        # among rays that wanted more
+        want_more = n > kept
+        if want_more.any():
+            qstar = kept[want_more].min()
+            assert np.all(kept[want_more] >= qstar)
+            assert np.all(kept[want_more] <= qstar + 1)  # +1 partial level
+        # nothing dropped while budget remained at a shallower level
+        assert out.sum() >= min(capacity - N, total)  # partial-level slack

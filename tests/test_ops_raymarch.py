@@ -360,3 +360,54 @@ def test_lattice_paired_region_gather_exact():
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
             )
+
+
+def test_kdop_cull_is_conservative_and_tighter():
+    """occupied_kdop/kdop_hit (the round-5 inference cull): every ray the
+    marcher finds non-empty must pass the k-DOP test (conservativeness — a
+    culled ray renders as exact background), and the k-DOP hit set is a
+    subset of the AABB hit set (it is strictly tighter on round blobs)."""
+    from geneface_tpu.models.radnerf.renderer import (
+        kdop_hit,
+        occupied_aabb,
+        occupied_kdop,
+    )
+    from geneface_tpu.ops import march_rays_train
+
+    rng = np.random.RandomState(11)
+    H, N = 32, 512
+    r = (np.arange(H) + 0.5) / H * 2 - 1
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    occ = np.sqrt(gx**2 + (gy * 2.2) ** 2 + gz**2) < 0.4  # flattened ball
+    occ_grid = jnp.asarray(occ[None])
+    o = rng.randn(N, 3).astype(np.float32)
+    o = o / np.linalg.norm(o, axis=-1, keepdims=True) * 1.8
+    d = -o + 0.5 * rng.randn(N, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.asarray([-1, -0.5, -1, 1, 0.5, 1], jnp.float32)
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.05)
+    m = march_rays_train(
+        jnp.asarray(o), jnp.asarray(d), occ_grid, nears, fars,
+        jnp.zeros(N), bound=1.0, dt_gamma=1.0 / 256, max_steps=16,
+        cascade=1, grid_size=H,
+    )
+    nonempty = np.asarray(m.valid.sum(-1)) > 0
+    kdop = occupied_kdop(occ_grid, 1.0)
+    hit_k = np.asarray(kdop_hit(jnp.asarray(o), jnp.asarray(d), kdop, 0.05))
+    # conservativeness: marched samples => kdop hit
+    assert np.all(hit_k[nonempty]), "kdop culled a non-empty ray"
+    # tighter than (a subset of, and strictly smaller on this blob than)
+    # the AABB slab test
+    tight = occupied_aabb(occ_grid, 1.0)
+    tn, _ = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), tight, 0.05)
+    hit_a = np.asarray(tn) < 1e30
+    assert np.all(hit_a | ~hit_k), "kdop hit a ray the AABB rejected"
+    assert hit_k.sum() < hit_a.sum()
+    assert nonempty.sum() > 50
+
+    # empty grid: falls back to the full AABB k-DOP (nothing crashes,
+    # everything that hits the training box is kept)
+    kd0 = occupied_kdop(jnp.zeros_like(occ_grid), 1.0)
+    hit0 = np.asarray(kdop_hit(jnp.asarray(o), jnp.asarray(d), kd0, 0.05))
+    box_hit = np.asarray(nears) < 1e30
+    assert np.all(hit0[box_hit])

@@ -67,7 +67,18 @@ def main():
     cap = pick_ray_capacity(n_hit, hw * hw)
     print(f"rays hitting tight box: {n_hit} / {hw*hw}  -> ray capacity {cap}")
 
-    def make_render(mspr, latk):
+    from geneface_tpu.models.radnerf.renderer import kdop_hit, occupied_kdop
+
+    kdop = jax.tree_util.tree_map(
+        jnp.asarray, occupied_kdop(occ.occ_grid, float(cfg["bound"]))
+    )
+    n_hit_k = int(jax.device_get(
+        kdop_hit(rays_o, rays_d, kdop, float(cfg["min_near"])).sum()
+    ))
+    cap_k = pick_ray_capacity(n_hit_k, hw * hw)
+    print(f"kdop hits: {n_hit_k} -> capacity {cap_k}")
+
+    def make_render(mspr, latk, use_kdop=False):
         @jax.jit
         def render(params, occ, cond, rays_o, rays_d, bg):
             cond_feat = model.apply(params, cond, method=model.cal_cond_feat)
@@ -82,16 +93,17 @@ def main():
                 dt_gamma=float(cfg["dt_gamma"]), max_steps=int(cfg["max_steps"]),
                 grid_size=int(cfg["grid_size"]),
                 mean_samples_per_ray=mspr,
-                ray_capacity=cap,
+                ray_capacity=cap_k if use_kdop else cap,
                 lattice_K=latk,
                 march_paired=True,
+                cull_kdop=kdop if use_kdop else None,
             )
             return out["rgb_map"]
 
         return render
 
-    def run(tag, mspr, latk, n_time=10):
-        r = make_render(mspr, latk)
+    def run(tag, mspr, latk, n_time=10, use_kdop=False):
+        r = make_render(mspr, latk, use_kdop)
         t0 = time.time()
         img = r(params, occ, cond, rays_o, rays_d, bg)
         jax.block_until_ready(img)
@@ -125,6 +137,12 @@ def main():
     model = model_from_cfg(cfg)
     img, dt = run("lattice mspr=6 grid bf16", 6.0, 48)
     report(img)
+
+    # round-5 production path: kdop cull (smaller ray capacity) + bf16 +
+    # waterfilled sample budget
+    for mspr in (6.0, 5.0, 4.0):
+        img, dt = run(f"kdop+bf16 mspr={mspr}", mspr, 48, use_kdop=True)
+        report(img)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,9 @@ class RADNeRF(nn.Module):
     # decides the grouping and hence the parameter tree shapes. Keep at the
     # value a checkpoint was saved with (pre-round-2 layouts used 128).
     fused_row_lanes: int = 256
+    #: split the N coarsest non-dense levels into their own (dense where
+    #: they fit) tables — the grouped-coarse aliasing knob (round 5)
+    fused_ungroup_coarse: int = 0
     # "f32" | "bf16": compute dtype of the fused encoder's wide tensors
     # (params + grad accumulators stay f32; see ops/fused_grid.py)
     grid_compute_dtype: str = "f32"
@@ -149,12 +152,14 @@ class RADNeRF(nn.Module):
             single_table=self.fused_single_table,
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
+            ungroup_coarse=self.fused_ungroup_coarse,
         )
         self.ambient_fused_meta = make_fused_grid_meta(
             self.ambient_grid_meta,
             single_table=self.fused_single_table or self.ambient_single_table,
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
+            ungroup_coarse=self.fused_ungroup_coarse,
         )
         self.pos_embeddings = self.param(
             "pos_embeddings", self._grid_init(self.pos_grid_meta, self.pos_fused_meta)

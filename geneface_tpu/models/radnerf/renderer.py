@@ -717,6 +717,7 @@ def render_rays_radnerf_torso(
     lattice_K: int | None = None,
     march_paired: bool = False,
     cull_kdop: tuple[jax.Array, jax.Array] | None = None,
+    density_scale: float = 1.0,
 ) -> dict:
     """Head (frozen, stop-gradient) + torso composite
     (``radnerf_torso.py:86-199``): torso mixes with the background, then the
@@ -742,6 +743,7 @@ def render_rays_radnerf_torso(
         lattice_K=lattice_K,
         march_paired=march_paired,
         cull_kdop=cull_kdop,
+        density_scale=density_scale,
     )
     head = jax.tree_util.tree_map(jax.lax.stop_gradient, head)
 

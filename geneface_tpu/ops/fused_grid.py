@@ -115,6 +115,7 @@ def make_fused_grid_meta(
     single_table: bool = False,
     row_lanes: int = 256,
     compute: str = "f32",
+    ungroup_coarse: int = 0,
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
     ``row_lanes // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e,
@@ -138,8 +139,16 @@ def make_fused_grid_meta(
         groups = (tuple(range(meta.num_levels)),)
     if groups is None:
         per_row = max(1, int(row_lanes) // (K * C))
-        rest = list(range(1, meta.num_levels))
-        groups = ((0,),) + tuple(
+        # ``ungroup_coarse``: give the first N levels after level 0 their own
+        # tables (they come out DENSE when side^D fits the per-level budget
+        # — exact interpolation instead of aliasing at the finest-in-group
+        # block granularity). Round-5 instability suspect knob (config
+        # ``fused_ungroup_coarse``); costs one extra gather+scatter per
+        # ungrouped level. Changes the checkpoint layout like row_lanes.
+        u = max(0, min(int(ungroup_coarse), meta.num_levels - 1))
+        singles = tuple((l,) for l in range(1, 1 + u))
+        rest = list(range(1 + u, meta.num_levels))
+        groups = ((0,),) + singles + tuple(
             tuple(rest[i : i + per_row]) for i in range(0, len(rest), per_row)
         )
     # the forward concatenates group outputs in order and the backward

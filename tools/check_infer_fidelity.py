@@ -78,6 +78,15 @@ def main():
     cap_k = pick_ray_capacity(n_hit_k, hw * hw)
     print(f"kdop hits: {n_hit_k} -> capacity {cap_k}")
 
+    # density_scale emulates a CONVERGED checkpoint's opacity: the random-
+    # init field's sigmas are tiny, so transmittance never decays and every
+    # marched sample carries weight — the worst case for budget truncation,
+    # and unrepresentative of trained faces (whose surfaces saturate T
+    # within a few samples; the reference's real-time alive-ray loop relies
+    # on exactly that early-out, raymarching.cu:943-1020). Applied to the
+    # full-slab reference render identically, so PSNR stays apples-to-apples.
+    DENSITY_SCALE = float(os.environ.get("GF_FID_DENSITY_SCALE", 0))
+
     def make_render(mspr, latk, use_kdop=False):
         @jax.jit
         def render(params, occ, cond, rays_o, rays_d, bg):
@@ -97,6 +106,7 @@ def main():
                 lattice_K=latk,
                 march_paired=True,
                 cull_kdop=kdop if use_kdop else None,
+                density_scale=DENSITY_SCALE or 1.0,
             )
             return out["rgb_map"]
 

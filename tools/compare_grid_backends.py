@@ -37,6 +37,10 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
     base = base.replace("_rl128", "")
     amb_single = "_ambsingle" in base
     base = base.replace("_ambsingle", "")
+    ungroup = 0
+    if "_ug" in base:  # e.g. fused_ug2 -> ungroup the 2 coarsest levels
+        base, _, tail = base.partition("_ug")
+        ungroup = int(tail or 0)
     cfg = Config(
         data_dir=data_dir,
         work_dir=os.path.join(data_dir, f"work_{backend}"),
@@ -55,6 +59,7 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
         fused_single_table=single,
         fused_row_lanes=row_lanes,
         ambient_single_table=amb_single,
+        fused_ungroup_coarse=ungroup,
         grid_compute_dtype="bf16" if bf16 else ("mixed" if mixed else "f32"),
     )
     task = RADNeRFTask(cfg)

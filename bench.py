@@ -213,6 +213,7 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
         occupied_kdop,
         render_rays_radnerf,
         render_rays_radnerf_torso,
+        torso_occupancy_mask,
     )
     from geneface_tpu.utils.camera import get_bg_coords, get_rays
 
@@ -269,8 +270,16 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
         )
         return out["rgb_map"]
 
+    # per-video constant: the torso occupancy mask at every pixel (sampling
+    # it in-graph with a traced grid costs ~11 ms/frame at 512²)
+    t_mask = None
+    if torso_occ is not None:
+        t_mask = torso_occupancy_mask(
+            torso_occ, bg_coords, int(cfg["grid_size"]), 0.01
+        )
+
     @jax.jit
-    def render_headtorso(params, occ, torso_occ, rays_o, rays_d, bg):
+    def render_headtorso(params, occ, torso_occ, rays_o, rays_d, bg, t_mask):
         def torso_fn(xy, head_img, head_ws):
             return model.apply(
                 params, xy, pose6, t_ind, head_img, head_ws,
@@ -279,7 +288,8 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
 
         out = render_rays_radnerf_torso(
             field_fn, torso_fn, rays_o, rays_d, bg_coords, occ, torso_occ,
-            density_thresh_torso=0.01, bg_color=bg, **kwargs
+            density_thresh_torso=0.01, bg_color=bg, torso_mask=t_mask,
+            **kwargs
         )
         return out["rgb_map"]
 
@@ -299,7 +309,8 @@ def bench_infer_fps(task, state, hw=512, n_frames=20):
     ht_dt = None
     if torso_occ is not None:
         ht_dt = timed(
-            render_headtorso, params, occ, torso_occ, rays_o, rays_d, bg
+            render_headtorso, params, occ, torso_occ, rays_o, rays_d, bg,
+            t_mask,
         )
     return head_dt, ht_dt
 

@@ -127,6 +127,7 @@ class RADNeRFInfer:
         )
         self._ray_capacity = None  # picked lazily per video (see render_video)
         self._cull_kdop = None  # set alongside the capacity pick
+        self._torso_mask = None  # per-video torso occupancy mask
 
     def _pick_ray_capacity(self, n_probe: int = 4) -> int | None:
         """Static ray-cull capacity for this video: probe hit counts of the
@@ -185,7 +186,7 @@ class RADNeRFInfer:
 
     def _render_frame(self, params, occ_and_torso, rays_o, rays_d, bg, bg_coords,
                       cond_wins, pose6, ind_idx, ray_capacity=None,
-                      cull_kdop=None):
+                      cull_kdop=None, torso_mask=None):
         cfg = self.cfg
         model = self.model
         # GUI-adjustable render knobs (reference radnerf_gui.py:427-465
@@ -243,7 +244,7 @@ class RADNeRFInfer:
             out = render_rays_radnerf_torso(
                 field_fn, torso_fn, rays_o, rays_d, bg_coords, occ, torso_occ,
                 density_thresh_torso=float(cfg.get("density_thresh_torso", 0.01)),
-                bg_color=bg, **kwargs,
+                bg_color=bg, torso_mask=torso_mask, **kwargs,
             )
         else:
             occ = occ_and_torso[0]
@@ -275,6 +276,7 @@ class RADNeRFInfer:
                 return self._render_frame(
                     params, occ_pack, ro1, rd1, b1, bc1, cw1, p61, 0,
                     ray_capacity=ray_capacity, cull_kdop=self._cull_kdop,
+                    torso_mask=self._torso_mask,
                 )
 
             return jax.lax.map(one, (ro, rd, b, bc, cw, p6))
@@ -318,6 +320,18 @@ class RADNeRFInfer:
         if frame_parallel is None:
             frame_parallel = n_dev > 1 and T >= n_dev
         self._ray_capacity = self._pick_ray_capacity()
+        if self.torso:
+            # per-video constant (sampling the traced grid per frame costs
+            # ~11 ms at 512²; see renderer.torso_occupancy_mask)
+            from geneface_tpu.models.radnerf.renderer import (
+                torso_occupancy_mask,
+            )
+
+            self._torso_mask = torso_occupancy_mask(
+                self.torso_occ, jnp.asarray(ds.bg_coords),
+                int(cfg.get("grid_size", 128)),
+                float(cfg.get("density_thresh_torso", 0.01)),
+            )
 
         def frame_inputs(i):
             item = ds[i % len(ds)]
@@ -353,6 +367,7 @@ class RADNeRFInfer:
                     *[jnp.asarray(v) for v in inp], 0,
                     ray_capacity=self._ray_capacity,
                     cull_kdop=self._cull_kdop,
+                    torso_mask=self._torso_mask,
                 )
                 frame = np.asarray(rgb).reshape(H, W, 3)
                 frames.append((np.clip(frame, 0, 1) * 255).astype(np.uint8))

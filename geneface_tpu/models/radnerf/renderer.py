@@ -52,6 +52,7 @@ __all__ = [
     "make_aabb",
     "occupied_kdop",
     "kdop_hit",
+    "torso_occupancy_mask",
 ]
 
 
@@ -693,6 +694,24 @@ def update_torso_occupancy(
     return TorsoOccupancyState(density, jnp.mean(density))
 
 
+def torso_occupancy_mask(
+    torso_occ: TorsoOccupancyState,
+    bg_coords: jax.Array,  # [N, 2]
+    grid_size: int,
+    density_thresh_torso: float,
+) -> jax.Array:
+    """[N] bool torso-occupancy mask at screen coords — the per-video
+    constant infer drivers precompute for :func:`render_rays_radnerf_torso`
+    (``radnerf_torso.py:161-177`` semantics)."""
+    from geneface_tpu.models.radnerf.radnerf_torso import sample_torso_occupancy
+
+    thresh = jnp.minimum(density_thresh_torso, torso_occ.mean_density)
+    occupancy = sample_torso_occupancy(
+        torso_occ.density_grid, bg_coords, grid_size
+    )
+    return occupancy > thresh
+
+
 def render_rays_radnerf_torso(
     field_fn: Callable,  # head field (xyz, dirs) -> (sigma, rgb, ambient)
     torso_fn: Callable,  # (xy [N,2], head_img, head_ws) -> (alpha, color, dx)
@@ -718,10 +737,20 @@ def render_rays_radnerf_torso(
     march_paired: bool = False,
     cull_kdop: tuple[jax.Array, jax.Array] | None = None,
     density_scale: float = 1.0,
+    torso_mask: jax.Array | None = None,
 ) -> dict:
     """Head (frozen, stop-gradient) + torso composite
     (``radnerf_torso.py:86-199``): torso mixes with the background, then the
-    head image composites over the torso background."""
+    head image composites over the torso background.
+
+    ``torso_mask`` ([N] float/bool): precomputed occupancy mask. The
+    bilinear sample of the 2-D torso grid at every pixel costs ~11 ms at
+    512² when the grid is a traced argument (262k × 4 element gathers);
+    both the grid and the screen coords are per-VIDEO constants, so infer
+    drivers compute the mask once outside the frame jit and pass it here.
+    ``None`` falls back to sampling in-graph (GUI paths with changing
+    resolutions).
+    """
     from geneface_tpu.models.radnerf.radnerf_torso import sample_torso_occupancy
 
     head = render_rays_radnerf(
@@ -747,11 +776,14 @@ def render_rays_radnerf_torso(
     )
     head = jax.tree_util.tree_map(jax.lax.stop_gradient, head)
 
-    thresh = jnp.minimum(density_thresh_torso, torso_occ.mean_density)
-    occupancy = sample_torso_occupancy(
-        torso_occ.density_grid, bg_coords, grid_size
-    )
-    mask = (occupancy > thresh).astype(jnp.float32)[:, None]
+    if torso_mask is None:
+        thresh = jnp.minimum(density_thresh_torso, torso_occ.mean_density)
+        occupancy = sample_torso_occupancy(
+            torso_occ.density_grid, bg_coords, grid_size
+        )
+        mask = (occupancy > thresh).astype(jnp.float32)[:, None]
+    else:
+        mask = torso_mask.astype(jnp.float32).reshape(-1, 1)
 
     alpha, color, deform = torso_fn(
         bg_coords, head["rgb_map"], head["weights_sum"][:, None]

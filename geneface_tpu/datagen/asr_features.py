@@ -78,20 +78,50 @@ def _wav2vec2_logits(wav: np.ndarray, model_name: str) -> np.ndarray:
     return logits.numpy().astype(np.float32)
 
 
+def _wav2vec2_logits_flax(wav: np.ndarray, ckpt_path: str) -> np.ndarray:
+    """Self-contained JAX forward of the converted wav2vec2 encoder
+    (``tools/convert_wav2vec2_torch.py``) — no torch/transformers at
+    feature time (VERDICT r4 #9)."""
+    import jax.numpy as jnp
+
+    from geneface_tpu.datagen.wav2vec2 import (
+        Wav2Vec2CTC,
+        load_wav2vec2_params,
+        normalize_waveform,
+    )
+
+    cfg, params = load_wav2vec2_params(ckpt_path)
+    model = Wav2Vec2CTC(cfg)
+    x = jnp.asarray(normalize_waveform(wav))[None]
+    return np.asarray(model.apply(params, x))[0].astype(np.float32)
+
+
 def extract_esperanto_features(
     wav: np.ndarray,
     n_frames: int | None = None,
     model_name: str = ESPERANTO_MODEL,
+    flax_ckpt: str | None = None,
 ) -> np.ndarray:
     """wav @16k → ``esperanto_win`` [T, 16, 44]
-    (``data_util/extract_esperanto.py:47-51``; vocab 44)."""
-    try:
-        logits = _wav2vec2_logits(wav, model_name)
-    except Exception as e:  # no local checkpoint / no egress
-        raise RuntimeError(
-            f"esperanto wav2vec2 checkpoint '{model_name}' unavailable "
-            f"(download it to the HF cache first): {e}"
-        ) from e
+    (``data_util/extract_esperanto.py:47-51``; vocab 44).
+
+    ``flax_ckpt`` (or env ``GF_W2V2_ESPERANTO``): a converted checkpoint —
+    the self-contained JAX path; otherwise falls back to the transformers
+    forward (requires the HF checkpoint locally)."""
+    import os
+
+    flax_ckpt = flax_ckpt or os.environ.get("GF_W2V2_ESPERANTO", "")
+    if flax_ckpt:
+        logits = _wav2vec2_logits_flax(wav, flax_ckpt)
+    else:
+        try:
+            logits = _wav2vec2_logits(wav, model_name)
+        except Exception as e:  # no local checkpoint / no egress
+            raise RuntimeError(
+                f"esperanto wav2vec2 checkpoint '{model_name}' unavailable "
+                f"(convert it via tools/convert_wav2vec2_torch.py and set "
+                f"GF_W2V2_ESPERANTO, or download it to the HF cache): {e}"
+            ) from e
     return logits_to_windows(logits[:, :ESPERANTO_DIM], n_frames=n_frames)
 
 

@@ -83,6 +83,7 @@ def production_cfg(tmp, n_rays=65536):
         # GF_GRID_BACKEND=block benches the checkpoint-import fast path
         # (canonical per-level layout; see docs/migrate_from_geneface.md)
         grid_backend=os.environ.get("GF_GRID_BACKEND", "fused"),
+        grid_bwd_dtype=os.environ.get("GF_GRID_BWD_DTYPE", "same"),
     )
 
 

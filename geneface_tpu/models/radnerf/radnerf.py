@@ -99,6 +99,8 @@ class RADNeRF(nn.Module):
     #: split the N coarsest non-dense levels into their own (dense where
     #: they fit) tables — the grouped-coarse aliasing knob (round 5)
     fused_ungroup_coarse: int = 0
+    #: "same" | "bf16": backward-only grid tensor dtype (gradient-side)
+    grid_bwd_dtype: str = "same"
     # "f32" | "bf16": compute dtype of the fused encoder's wide tensors
     # (params + grad accumulators stay f32; see ops/fused_grid.py)
     grid_compute_dtype: str = "f32"
@@ -153,6 +155,7 @@ class RADNeRF(nn.Module):
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
             ungroup_coarse=self.fused_ungroup_coarse,
+            bwd_compute=self.grid_bwd_dtype,
         )
         self.ambient_fused_meta = make_fused_grid_meta(
             self.ambient_grid_meta,
@@ -160,6 +163,7 @@ class RADNeRF(nn.Module):
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
             ungroup_coarse=self.fused_ungroup_coarse,
+            bwd_compute=self.grid_bwd_dtype,
         )
         self.pos_embeddings = self.param(
             "pos_embeddings", self._grid_init(self.pos_grid_meta, self.pos_fused_meta)

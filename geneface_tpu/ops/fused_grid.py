@@ -71,6 +71,13 @@ class FusedGridMeta(NamedTuple):
     #: step is traffic-bound there); parameters and the grad accumulators
     #: stay f32 (scatter_add_rows always accumulates f32).
     compute: str = "f32"
+    #: "same" | "bf16": dtype of the BACKWARD-only wide tensors — the saved
+    #: residuals (rows/wexp/w_ax) and the cotangent pipeline (ggexp, upd,
+    #: rg). Unlike ``compute`` this never touches forward VALUES (the
+    #: round-4 rejected knob); it quantizes only gradient intermediates,
+    #: with the scatter still accumulating f32 (round-5 attempt, measured
+    #: in docs/perf_notes.md).
+    bwd_compute: str = "same"
 
     @property
     def input_dim(self):
@@ -116,6 +123,7 @@ def make_fused_grid_meta(
     row_lanes: int = 256,
     compute: str = "f32",
     ungroup_coarse: int = 0,
+    bwd_compute: str = "same",
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
     ``row_lanes // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e,
@@ -188,6 +196,8 @@ def make_fused_grid_meta(
         raise ValueError(
             f"compute must be 'f32', 'bf16' or 'mixed', got {compute!r}"
         )
+    if bwd_compute not in ("same", "bf16"):
+        raise ValueError(f"bwd_compute must be 'same' or 'bf16', got {bwd_compute!r}")
     return FusedGridMeta(
         base=meta,
         groups=tuple(tuple(g) for g in groups),
@@ -196,6 +206,7 @@ def make_fused_grid_meta(
         dense_sides=tuple(sides),
         dense_bsides=tuple(bsides),
         compute=compute,
+        bwd_compute=bwd_compute,
     )
 
 
@@ -454,10 +465,25 @@ def _forward(inputs, params, fmeta, save_rows=False, need_input_grad=True):
             # residuals: saving wexp (and, for input-grad groups, the
             # per-axis weights) lets the backward skip the whole fr → w_ax →
             # wk → @X recompute chain — each of those narrow [M, G(*K)]
-            # tensors lane-pads to 128 and costs an HBM round-trip
-            saved.append(
-                (row, rows, wexp, tuple(w_ax) if need_input_grad else None)
-            )
+            # tensors lane-pads to 128 and costs an HBM round-trip.
+            # bwd_compute="bf16": store them half-width — gradient-side
+            # precision only, forward values untouched.
+            if fmeta.bwd_compute == "bf16":
+                bt = jnp.bfloat16
+                saved.append(
+                    (
+                        row,
+                        rows.astype(bt),
+                        wexp.astype(bt),
+                        tuple(w.astype(bt) for w in w_ax)
+                        if need_input_grad
+                        else None,
+                    )
+                )
+            else:
+                saved.append(
+                    (row, rows, wexp, tuple(w_ax) if need_input_grad else None)
+                )
         # corner sum on the MXU, f32 accumulation
         outs.append(
             jax.lax.dot_general(
@@ -539,6 +565,8 @@ def _fge_bwd(fmeta, need_input_grad, res, gout):
     grads = {}
     for gi, g in enumerate(fmeta.groups):
         ct = _group_compute_dtype(fmeta, gi)
+        if fmeta.bwd_compute == "bf16":
+            ct = jnp.bfloat16  # cotangent pipeline half-width (grads only)
         row, rows, wexp, w_ax = saved[gi]
         G = len(g)
         S, X, Ek, bitk = _selectors(G, K, C, D)

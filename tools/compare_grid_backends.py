@@ -41,6 +41,8 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
     if "_ug" in base:  # e.g. fused_ug2 -> ungroup the 2 coarsest levels
         base, _, tail = base.partition("_ug")
         ungroup = int(tail or 0)
+    gbwd = "_gbwd" in base  # bf16 grid BACKWARD intermediates (round 5)
+    base = base.replace("_gbwd", "")
     cfg = Config(
         data_dir=data_dir,
         work_dir=os.path.join(data_dir, f"work_{backend}"),
@@ -61,6 +63,7 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
         ambient_single_table=amb_single,
         fused_ungroup_coarse=ungroup,
         grid_compute_dtype="bf16" if bf16 else ("mixed" if mixed else "f32"),
+        grid_bwd_dtype="bf16" if gbwd else "same",
     )
     task = RADNeRFTask(cfg)
     state = task.build()

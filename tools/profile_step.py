@@ -42,6 +42,7 @@ def main():
         mean_samples_per_ray=float(os.environ.get("GF_MEAN_SPR", 8)),
         fused_single_table=bool(int(os.environ.get("GF_SINGLE_TABLE", 0))),
         grid_compute_dtype=os.environ.get("GF_GRID_DTYPE", "f32"),
+        grid_bwd_dtype=os.environ.get("GF_GRID_BWD_DTYPE", "same"),
     )
     task = RADNeRFTask(cfg)
     state = task.build()
@@ -274,6 +275,8 @@ def main():
                 jnp.concatenate([pos_feat, cond_rep], axis=-1),
                 method=lambda m, h: m.ambient_net(h),
             )
+            if isinstance(amb, tuple):  # round-4 split-head column outputs
+                amb = jnp.stack(amb, axis=-1)
             return jnp.tanh(amb.astype(jnp.float32))
         t = device_time(stage_mlptanh, params, xyz, cond_feat, iters=5)
         print(f"pos+mlp+tanh fwd: {t*1e3:8.2f} ms", flush=True)

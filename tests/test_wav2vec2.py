@@ -96,3 +96,53 @@ def test_esperanto_flax_path(tmp_path):
     wins = extract_esperanto_features(wav, n_frames=20, flax_ckpt=ckpt)
     assert wins.shape == (20, 16, 44)
     assert np.all(np.isfinite(wins)) and wins.std() > 0
+
+
+def test_streaming_asr(tmp_path):
+    """StreamingASR (reference data_util/extract_esperanto.py:35-380): a
+    chunk-iterator source streams through the jitted Flax wav2vec2, the
+    ring buffer serves [8, C, 16] attention windows, and save_feats yields
+    the same [T, 16, C] window layout as the offline extractor."""
+    from transformers import Wav2Vec2Config as HFConfig
+    from transformers import Wav2Vec2ForCTC
+
+    from geneface_tpu.datagen.streaming_asr import CHUNK, StreamingASR
+
+    torch.manual_seed(3)
+    hf = Wav2Vec2ForCTC(
+        HFConfig(
+            vocab_size=44, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=128,
+            conv_dim=(32, 32, 32), conv_stride=(5, 2, 2),
+            conv_kernel=(10, 3, 3), num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+            do_stable_layer_norm=True, feat_extract_norm="layer",
+        )
+    ).eval()
+    ckpt = str(tmp_path / "w2v2s.pkl")
+    convert_model(hf, ckpt)
+
+    rng = np.random.RandomState(5)
+    wav = (0.1 * np.sin(np.linspace(0, 300, SR := 16000))
+           + 0.01 * rng.randn(SR)).astype(np.float32)
+
+    asr = StreamingASR(wav, flax_ckpt=ckpt, context_size=6, stride_left=2,
+                       stride_right=2, save_feats=True)
+    out_npy = str(tmp_path / "stream.npy")
+    wins = asr.run(out_npy=out_npy)
+    assert asr.terminated
+    assert wins.shape[1:] == (16, 44) and wins.shape[0] > 5
+    assert np.all(np.isfinite(wins)) and wins.std() > 0
+    assert np.load(out_npy).shape == wins.shape
+
+    # per-frame attention windows for the live GUI path
+    asr2 = StreamingASR(iter(np.split(wav[: CHUNK * 40], 40)),
+                        flax_ckpt=ckpt, context_size=6, stride_left=2,
+                        stride_right=2)
+    for _ in range(20):
+        asr2.run_step()
+    att = asr2.get_next_feat()
+    assert att.shape == (8, 44, 16)
+    att2 = asr2.get_next_feat()
+    assert att2.shape == (8, 44, 16)
+    assert np.all(np.isfinite(att)) and np.all(np.isfinite(att2))

@@ -213,12 +213,29 @@ class RealtimeRenderer:
         occ_pack = (
             (infer.occ, infer.torso_occ) if infer.torso else (infer.occ,)
         )
+        # k-DOP ray cull at the current rung: full-res capacity scaled by
+        # the pixel ratio (the production cull, conservative for orbit
+        # poses near the dataset's; extreme zoom-ins can exceed the
+        # capacity and render the overflow as background — the same trade
+        # the dynamic-resolution ladder already makes with quality)
+        cap = None
+        if infer.cfg.get("infer_ray_cull", True):
+            if infer._ray_capacity is None:
+                infer._ray_capacity = infer._pick_ray_capacity()
+            if infer._ray_capacity:
+                frac = (H * W) / float(ds.H * ds.W)
+                cap = min(
+                    -(-int(infer._ray_capacity * frac) // 4096) * 4096,
+                    H * W,
+                )
+                cap = cap if cap < H * W else None
         t0 = time.time()
         rgb = self._render_fn()(
             infer.params, occ_pack,
             jnp.asarray(rays["rays_o"]), jnp.asarray(rays["rays_d"]),
             jnp.asarray(bg), jnp.asarray(bg_coords), cond,
             jnp.asarray(item["pose"]), int(self.ind_index),
+            ray_capacity=cap, cull_kdop=infer._cull_kdop,
         )
         frame = np.asarray(rgb).reshape(H, W, 3)
         dt_ms = (time.time() - t0) * 1e3

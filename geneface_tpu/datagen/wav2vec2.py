@@ -12,6 +12,13 @@ Covers the XLSR-53 architecture variant: ``feat_extract_norm="layer"``
 (per-conv-layer LayerNorm) and ``do_stable_layer_norm=True`` (pre-LN
 transformer with a single post-LN at the end). The group-norm/post-LN base
 variant is supported too (``feat_extract_norm="group"``).
+
+``vocab_size=0`` drops the CTC head and returns the encoder hidden states
+— that is exactly torch ``HubertModel`` (the reference's HuBERT feature
+extractor, ``data_gen/process_lrs3/process_audio_hubert.py``): HuBERT's
+inference-time graph is the same conv feature encoder + projection +
+pre-LN transformer; the wav2vec2 quantizer/masking it drops never runs at
+inference. Convert with ``tools/convert_hubert_torch.py``.
 """
 
 from __future__ import annotations
@@ -147,6 +154,8 @@ class Wav2Vec2CTC(nn.Module):
             h = _EncoderLayer(c, name=f"layer_{i}")(h)
         if c.do_stable_layer_norm:
             h = nn.LayerNorm(epsilon=eps, name="encoder_layer_norm")(h)
+        if c.vocab_size == 0:  # HubertModel: encoder hidden states
+            return h  # [B, T, hidden]
         return nn.Dense(c.vocab_size, name="lm_head")(h)  # [B, T, vocab]
 
 

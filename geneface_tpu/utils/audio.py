@@ -5,9 +5,11 @@ Capabilities of the reference's audio stack
 ``process_audio_hubert.py``, ``inference/postnet/postnet_infer.py:122``):
 wav → 16 kHz mono; 80-bin log-mel at hop 160 (100 fps, 2 frames per 25-fps
 video frame); f0 via autocorrelation (librosa/parselmouth are not in this
-image — implemented on scipy); HuBERT hidden states via the transformers
-checkpoint ``facebook/hubert-large-ls960-ft`` when available locally (this
-environment has no network egress, so callers must handle ``None``).
+image — implemented on scipy); HuBERT hidden states via the in-repo Flax
+encoder on a converted checkpoint (``tools/convert_hubert_torch.py``,
+golden-tested in ``tests/test_hubert.py``) with a transformers fallback
+when only the HF cache is present (zero-egress environments without either
+get ``None`` — callers must handle it).
 """
 
 from __future__ import annotations
@@ -125,7 +127,16 @@ def extract_f0(wav: np.ndarray, fmin=80.0, fmax=600.0) -> np.ndarray:
     return f0
 
 
+def _hubert_flax_ckpt() -> str:
+    """Converted Flax HuBERT checkpoint path (tools/convert_hubert_torch.py);
+    empty string when absent."""
+    path = os.environ.get("GF_HUBERT_CKPT", "data/ckpt/hubert.pkl")
+    return path if os.path.exists(path) else ""
+
+
 def hubert_available(model_name="facebook/hubert-large-ls960-ft") -> bool:
+    if _hubert_flax_ckpt():
+        return True
     try:
         from transformers import HubertModel  # noqa: F401
 
@@ -140,10 +151,35 @@ def hubert_available(model_name="facebook/hubert-large-ls960-ft") -> bool:
         return False
 
 
+def _extract_hubert_flax(wav: np.ndarray, ckpt: str) -> np.ndarray:
+    """Self-contained path: the in-repo Flax encoder on a converted
+    checkpoint (no torch/transformers at runtime)."""
+    import jax.numpy as jnp
+
+    from geneface_tpu.datagen.wav2vec2 import (
+        Wav2Vec2CTC,
+        load_wav2vec2_params,
+    )
+
+    cfg, params = load_wav2vec2_params(ckpt)
+    model = Wav2Vec2CTC(cfg)
+    # hubert-large ships do_normalize=True (Wav2Vec2FeatureExtractor)
+    w = np.asarray(wav, np.float32)
+    w = (w - w.mean()) / np.sqrt(w.var() + 1e-7)
+    hidden = model.apply(params, jnp.asarray(w)[None])[0]
+    return np.asarray(hidden, np.float32)
+
+
 def extract_hubert(wav: np.ndarray, model_name="facebook/hubert-large-ls960-ft"):
     """[T_audio] → HuBERT hidden states [T_frames, 1024] (stride 320,
-    repeated 2× to 100 fps as the reference binarizer). Returns None when the
-    checkpoint is not locally available (zero-egress environments)."""
+    repeated 2× to 100 fps as the reference binarizer). Prefers the
+    converted in-repo Flax encoder (``GF_HUBERT_CKPT`` /
+    ``data/ckpt/hubert.pkl``); falls back to a locally-cached transformers
+    checkpoint; returns None when neither is available (zero-egress)."""
+    ckpt = _hubert_flax_ckpt()
+    if ckpt:
+        hidden = _extract_hubert_flax(wav, ckpt)
+        return np.repeat(hidden, 2, axis=0).astype(np.float32)  # ~100 fps
     if not hubert_available(model_name):
         return None
     import torch

@@ -47,7 +47,13 @@ def convert_state_dict(sd: dict, cfg: dict) -> dict:
     (``weight = g * v / ||v||`` over (out, in) per kernel position).
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    W = "wav2vec2."
+    # Wav2Vec2ForCTC prefixes the encoder "wav2vec2."; HubertForCTC uses
+    # "hubert."; bare HubertModel/Wav2Vec2Model state dicts are unprefixed.
+    W = ""
+    for cand in ("wav2vec2.", "hubert."):
+        if any(k.startswith(cand) for k in sd):
+            W = cand
+            break
     p: dict = {}
 
     fe = {}
@@ -96,7 +102,8 @@ def convert_state_dict(sd: dict, cfg: dict) -> dict:
             "ff_output": _lin(sd, f"{base}.feed_forward.output_dense"),
         }
     p["encoder_layer_norm"] = _ln(sd, f"{W}encoder.layer_norm")
-    p["lm_head"] = _lin(sd, "lm_head")
+    if cfg.get("vocab_size", 0) and "lm_head.weight" in sd:
+        p["lm_head"] = _lin(sd, "lm_head")
     return {"params": p}
 
 

@@ -132,29 +132,43 @@ def extract_deepspeech_features(
 ) -> np.ndarray:
     """wav @16k → ``deepspeech_win`` [T, 16, 29].
 
-    The reference runs a TF1 frozen DeepSpeech graph
-    (``data_util/deepspeech_features/deepspeech_features.py``); pass its
-    ``output_graph.pb`` path. Raises when TF or the graph is missing.
+    The reference runs a TF1 frozen DeepSpeech graph inside a TF session
+    (``data_util/deepspeech_features/deepspeech_features.py``); here the
+    frozen ``.pb`` is parsed directly (pure-python wire-format reader) and
+    the net runs as a JAX forward — no TensorFlow needed
+    (``geneface_tpu.datagen.deepspeech``). Pass the graph path (or env
+    ``GF_DEEPSPEECH_PB``). A TF session fallback remains for exotic graphs
+    the self-contained mapper cannot identify.
     """
-    if graph_pb is None:
-        raise RuntimeError(
-            "deepspeech features need the TF1 frozen graph "
-            "(deepspeech-0.9.2-models.pbmm → output_graph.pb); none provided"
-        )
-    import tensorflow as tf  # noqa: F401  (gated import)
+    import os
 
-    graph_def = tf.compat.v1.GraphDef()
-    with open(graph_pb, "rb") as f:
-        graph_def.ParseFromString(f.read())
-    with tf.Graph().as_default() as graph:
-        tf.import_graph_def(graph_def, name="deepspeech")
-    # standard DeepSpeech frozen-graph tensors (deepspeech_features.py:123+)
-    input_t = graph.get_tensor_by_name("deepspeech/input_node:0")
-    len_t = graph.get_tensor_by_name("deepspeech/input_lengths:0")
-    logits_t = graph.get_tensor_by_name("deepspeech/logits:0")
+    graph_pb = graph_pb or os.environ.get("GF_DEEPSPEECH_PB", "")
+    if not graph_pb:
+        raise RuntimeError(
+            "deepspeech features need the frozen graph "
+            "(deepspeech-0_1_0-b90017e8.pb); pass graph_pb= or set "
+            "GF_DEEPSPEECH_PB"
+        )
     from geneface_tpu.datagen._ds_audio import audio_to_mfcc_windows
 
-    feats, n = audio_to_mfcc_windows(wav)
-    with tf.compat.v1.Session(graph=graph) as sess:
-        logits = sess.run(logits_t, {input_t: feats[None], len_t: [n]})
+    feats, _n = audio_to_mfcc_windows(wav)
+    try:
+        from geneface_tpu.datagen.deepspeech import deepspeech_logits
+
+        logits = deepspeech_logits(graph_pb, feats)
+    except ValueError:
+        # unrecognized graph layout -> the reference's TF session path
+        import tensorflow as tf  # noqa: F401  (gated import)
+
+        graph_def = tf.compat.v1.GraphDef()
+        with open(graph_pb, "rb") as f:
+            graph_def.ParseFromString(f.read())
+        with tf.Graph().as_default() as graph:
+            tf.import_graph_def(graph_def, name="deepspeech")
+        # standard frozen-graph tensors (deepspeech_features.py:123+)
+        input_t = graph.get_tensor_by_name("deepspeech/input_node:0")
+        len_t = graph.get_tensor_by_name("deepspeech/input_lengths:0")
+        logits_t = graph.get_tensor_by_name("deepspeech/logits:0")
+        with tf.compat.v1.Session(graph=graph) as sess:
+            logits = sess.run(logits_t, {input_t: feats[None], len_t: [_n]})
     return logits_to_windows(logits.reshape(-1, DEEPSPEECH_DIM), n_frames=n_frames)

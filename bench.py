@@ -84,6 +84,10 @@ def production_cfg(tmp, n_rays=65536):
         # (canonical per-level layout; see docs/migrate_from_geneface.md)
         grid_backend=os.environ.get("GF_GRID_BACKEND", "fused"),
         grid_bwd_dtype=os.environ.get("GF_GRID_BWD_DTYPE", "same"),
+        # mirrors the shipped default (egs/egs_bases/radnerf/base.yaml);
+        # override to A/B the ungrouped-coarse quality/speed trade
+        fused_ungroup_coarse=int(os.environ.get("GF_FUSED_UNGROUP", "0")),
+        ambient_ungroup_coarse=int(os.environ.get("GF_AMB_UNGROUP", "-1")),
     )
 
 

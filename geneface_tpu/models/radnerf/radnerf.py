@@ -99,6 +99,11 @@ class RADNeRF(nn.Module):
     #: split the N coarsest non-dense levels into their own (dense where
     #: they fit) tables — the grouped-coarse aliasing knob (round 5)
     fused_ungroup_coarse: int = 0
+    #: ambient-grid override of ``fused_ungroup_coarse`` (-1 = follow it).
+    #: The ambient coordinate is a learned latent, so its grouped-coarse
+    #: aliasing may be tolerable where the positional grid's is not —
+    #: ungrouping only the pos grid halves the extra scatter bill
+    ambient_ungroup_coarse: int = -1
     #: "same" | "bf16": backward-only grid tensor dtype (gradient-side)
     grid_bwd_dtype: str = "same"
     # "f32" | "bf16": compute dtype of the fused encoder's wide tensors
@@ -157,12 +162,17 @@ class RADNeRF(nn.Module):
             ungroup_coarse=self.fused_ungroup_coarse,
             bwd_compute=self.grid_bwd_dtype,
         )
+        amb_ungroup = (
+            self.fused_ungroup_coarse
+            if self.ambient_ungroup_coarse < 0
+            else self.ambient_ungroup_coarse
+        )
         self.ambient_fused_meta = make_fused_grid_meta(
             self.ambient_grid_meta,
             single_table=self.fused_single_table or self.ambient_single_table,
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
-            ungroup_coarse=self.fused_ungroup_coarse,
+            ungroup_coarse=amb_ungroup,
             bwd_compute=self.grid_bwd_dtype,
         )
         self.pos_embeddings = self.param(

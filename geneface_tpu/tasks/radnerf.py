@@ -76,6 +76,7 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         fused_row_lanes=cfg.get("fused_row_lanes", 256),
         grid_compute_dtype=cfg.get("grid_compute_dtype", "f32"),
         fused_ungroup_coarse=cfg.get("fused_ungroup_coarse", 0),
+        ambient_ungroup_coarse=cfg.get("ambient_ungroup_coarse", -1),
         grid_bwd_dtype=cfg.get("grid_bwd_dtype", "same"),
         ambient_single_table=cfg.get("ambient_single_table", False),
     )

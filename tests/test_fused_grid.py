@@ -131,3 +131,42 @@ def test_capacity_parity():
         ) * meta.level_dim
         got = params[f"group_{gi}"].size
         assert abs(got - canonical) <= len(g) * (1 << 3) * meta.level_dim
+
+
+def test_ungroup_coarse_groups_and_ambient_override():
+    """``ungroup_coarse`` gives the N coarsest non-dense levels their own
+    tables, and the model-level ``ambient_ungroup_coarse`` override (-1 =
+    follow) decouples the two grids' layouts (round-5 quality knob)."""
+    meta = make_meta(D=3, L=6)
+    f0 = make_fused_grid_meta(meta)
+    f2 = make_fused_grid_meta(meta, ungroup_coarse=2)
+    assert f2.groups[:3] == ((0,), (1,), (2,))
+    assert len(f2.groups) == len(f0.groups) + 2
+    # ungrouped coarse levels with small sides come out dense -> exact
+    assert f2.modes[1] in ("dense", "hash")
+
+    from geneface_tpu.models.radnerf import RADNeRF
+
+    kw = dict(
+        cond_out_dim=16, cond_win_size=1, smo_win_size=3,
+        log2_hashmap_size=9, desired_resolution=64,
+        hidden_dim_ambient=16, hidden_dim_sigma=16, geo_feat_dim=16,
+        hidden_dim_color=16, individual_embedding_num=10,
+        individual_embedding_dim=4,
+    )
+    cond = jnp.zeros((3, 1, 204))
+    xyz = jnp.zeros((8, 3))
+    dirs = jnp.zeros((8, 3))
+
+    def shapes(model):
+        p = model.init(
+            jax.random.PRNGKey(0), cond, xyz, dirs, method=model.init_all
+        )
+        return jax.tree_util.tree_map(jnp.shape, p["params"])
+
+    s_follow = shapes(RADNeRF(fused_ungroup_coarse=2, **kw))
+    s_pos = shapes(
+        RADNeRF(fused_ungroup_coarse=2, ambient_ungroup_coarse=0, **kw)
+    )
+    assert s_follow["pos_embeddings"] == s_pos["pos_embeddings"]
+    assert s_follow["ambient_embeddings"] != s_pos["ambient_embeddings"]

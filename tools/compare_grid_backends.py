@@ -38,7 +38,12 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
     amb_single = "_ambsingle" in base
     base = base.replace("_ambsingle", "")
     ungroup = 0
-    if "_ug" in base:  # e.g. fused_ug2 -> ungroup the 2 coarsest levels
+    amb_ungroup = -1
+    if "_posug" in base:  # fused_posug2 -> ungroup POS grid only
+        base, _, tail = base.partition("_posug")
+        ungroup = int(tail or 0)
+        amb_ungroup = 0
+    elif "_ug" in base:  # e.g. fused_ug2 -> ungroup the 2 coarsest levels
         base, _, tail = base.partition("_ug")
         ungroup = int(tail or 0)
     gbwd = "_gbwd" in base  # bf16 grid BACKWARD intermediates (round 5)
@@ -62,6 +67,7 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
         fused_row_lanes=row_lanes,
         ambient_single_table=amb_single,
         fused_ungroup_coarse=ungroup,
+        ambient_ungroup_coarse=amb_ungroup,
         grid_compute_dtype="bf16" if bf16 else ("mixed" if mixed else "f32"),
         grid_bwd_dtype="bf16" if gbwd else "same",
     )

@@ -88,6 +88,7 @@ def production_cfg(tmp, n_rays=65536):
         # override to A/B the ungrouped-coarse quality/speed trade
         fused_ungroup_coarse=int(os.environ.get("GF_FUSED_UNGROUP", "0")),
         ambient_ungroup_coarse=int(os.environ.get("GF_AMB_UNGROUP", "-1")),
+        fused_coarse_run=int(os.environ.get("GF_COARSE_RUN", "1")),
     )
 
 

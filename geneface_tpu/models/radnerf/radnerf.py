@@ -99,6 +99,10 @@ class RADNeRF(nn.Module):
     #: split the N coarsest non-dense levels into their own (dense where
     #: they fit) tables — the grouped-coarse aliasing knob (round 5)
     fused_ungroup_coarse: int = 0
+    #: chunk the ungrouped coarse levels in runs of this length (1 =
+    #: singles). Runs of 2 cap the alias gap at one octave while halving
+    #: the extra row-op bill of ``fused_ungroup_coarse``
+    fused_coarse_run: int = 1
     #: ambient-grid override of ``fused_ungroup_coarse`` (-1 = follow it).
     #: The ambient coordinate is a learned latent, so its grouped-coarse
     #: aliasing may be tolerable where the positional grid's is not —
@@ -160,6 +164,7 @@ class RADNeRF(nn.Module):
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
             ungroup_coarse=self.fused_ungroup_coarse,
+            coarse_run=self.fused_coarse_run,
             bwd_compute=self.grid_bwd_dtype,
         )
         amb_ungroup = (
@@ -173,6 +178,7 @@ class RADNeRF(nn.Module):
             row_lanes=self.fused_row_lanes,
             compute=self.grid_compute_dtype,
             ungroup_coarse=amb_ungroup,
+            coarse_run=self.fused_coarse_run,
             bwd_compute=self.grid_bwd_dtype,
         )
         self.pos_embeddings = self.param(

@@ -124,6 +124,7 @@ def make_fused_grid_meta(
     compute: str = "f32",
     ungroup_coarse: int = 0,
     bwd_compute: str = "same",
+    coarse_run: int = 1,
 ) -> FusedGridMeta:
     """Default grouping: level 0 alone; remaining levels in runs of up to
     ``row_lanes // (K*C)`` levels. Measured (tools/bench_rowops.py, v5e,
@@ -154,7 +155,16 @@ def make_fused_grid_meta(
         # ``fused_ungroup_coarse``); costs one extra gather+scatter per
         # ungrouped level. Changes the checkpoint layout like row_lanes.
         u = max(0, min(int(ungroup_coarse), meta.num_levels - 1))
-        singles = tuple((l,) for l in range(1, 1 + u))
+        # ``coarse_run``: chunk the ungrouped coarse levels in runs of this
+        # length instead of singles — a run of 2 keys its coarser level at
+        # the next level's cell granularity (one-octave alias gap, vs six
+        # octaves in the big group) while halving the extra row-op bill
+        # (round-5 quality/cost middle point; see docs/perf_notes.md).
+        run = max(1, int(coarse_run))
+        lvls = list(range(1, 1 + u))
+        singles = tuple(
+            tuple(lvls[i : i + run]) for i in range(0, len(lvls), run)
+        )
         rest = list(range(1 + u, meta.num_levels))
         groups = ((0,),) + singles + tuple(
             tuple(rest[i : i + per_row]) for i in range(0, len(rest), per_row)

@@ -77,6 +77,7 @@ def model_from_cfg(cfg, cls=RADNeRF, **extra):
         grid_compute_dtype=cfg.get("grid_compute_dtype", "f32"),
         fused_ungroup_coarse=cfg.get("fused_ungroup_coarse", 0),
         ambient_ungroup_coarse=cfg.get("ambient_ungroup_coarse", -1),
+        fused_coarse_run=cfg.get("fused_coarse_run", 1),
         grid_bwd_dtype=cfg.get("grid_bwd_dtype", "same"),
         ambient_single_table=cfg.get("ambient_single_table", False),
     )

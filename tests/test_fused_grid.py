@@ -54,10 +54,13 @@ def test_dense_level0_matches_reference(D):
     )
 
 
-@pytest.mark.parametrize("D,L", [(3, 5), (2, 8)])
-def test_custom_vjp_matches_autodiff(D, L):
+@pytest.mark.parametrize(
+    "D,L,ug,run",
+    [(3, 5, 0, 1), (2, 8, 0, 1), (3, 8, 4, 1), (3, 8, 4, 2)],
+)
+def test_custom_vjp_matches_autodiff(D, L, ug, run):
     meta = make_meta(D=D, L=L)
-    fmeta = make_fused_grid_meta(meta)
+    fmeta = make_fused_grid_meta(meta, ungroup_coarse=ug, coarse_run=run)
     params = init_fused_embeddings(jax.random.PRNGKey(0), fmeta, std=0.5)
     x = jax.random.uniform(jax.random.PRNGKey(1), (123, D))
     cot = jax.random.normal(jax.random.PRNGKey(2), (123, meta.output_dim))

@@ -39,6 +39,10 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
     base = base.replace("_ambsingle", "")
     ungroup = 0
     amb_ungroup = -1
+    run = 1
+    if "_run" in base:  # e.g. fused_ug4_run2 -> coarse levels in runs of 2
+        base, _, tail = base.partition("_run")
+        run = int(tail or 1)
     if "_posug" in base:  # fused_posug2 -> ungroup POS grid only
         base, _, tail = base.partition("_posug")
         ungroup = int(tail or 0)
@@ -68,6 +72,7 @@ def train_one(backend: str, data_dir: str, steps: int, n_rays: int, seed: int):
         ambient_single_table=amb_single,
         fused_ungroup_coarse=ungroup,
         ambient_ungroup_coarse=amb_ungroup,
+        fused_coarse_run=run,
         grid_compute_dtype="bf16" if bf16 else ("mixed" if mixed else "f32"),
         grid_bwd_dtype="bf16" if gbwd else "same",
     )

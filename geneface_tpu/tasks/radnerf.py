@@ -91,6 +91,18 @@ class RADNeRFTask(Task):
     # ------------------------------------------------------------- build ----
     def build(self):
         cfg = self.cfg
+        if (
+            cfg.get("grid_backend", "fused") == "fused"
+            and cfg.get("fused_ungroup_coarse", 0) == 0
+        ):
+            import logging
+
+            logging.getLogger("geneface_tpu").info(
+                "grid backend: fused SPEED mode (grouped coarse levels; "
+                "measured 2-4 dB seed variance on the synthetic scene). For "
+                "production-quality training set fused_ungroup_coarse: 4 "
+                "(~0.99x baseline step speed; docs/perf_notes.md round 5)."
+            )
         self.model = model_from_cfg(cfg, self.model_cls)
         data_dir = cfg.get("binary_data_dir", "data/binary/videos")
         video_id = cfg.get("video_id", "")

@@ -8,7 +8,13 @@ levels alias at the finest-in-group block granularity; this measures what
 that trade costs on an actual scene).
 
 Usage: python tools/compare_grid_backends.py [--steps 1500] [--hw 256]
-       [--backends fused,block,reference]
+       [--backends fused,block,reference] [--seed N]
+Backend-name suffixes compose onto ``fused``: ``_ugN`` (ungroup the N
+coarsest levels, both grids), ``_posugN`` (pos grid only), ``_runN``
+(ungrouped levels in runs of N), ``_rl128`` (row_lanes 128),
+``_ambsingle``, ``_bf16``/``_mixed``/``_gbwd`` (dtypes) — e.g.
+``fused_ug4``, ``fused_ug4_run2``. Round-5 frontier results:
+docs/perf_notes.md "grid-backend quality/cost frontier".
 Prints one JSON line per backend and a markdown table at the end.
 """
 
